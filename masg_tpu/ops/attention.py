@@ -1,0 +1,166 @@
+"""Scaled dot-product multi-head attention.
+
+Replaces the reference's hot kernel (transformer/Modules.py:6-25: bmm -> /sqrt(d_k)
+-> masked_fill(-inf) -> softmax -> bmm, with heads folded into the batch dim,
+SubLayers.py:42-46). TPU-native design:
+
+- XLA path: one batched einsum per projection; heads kept as a tensor axis so
+  the MXU sees large matmuls; pad positions masked with an additive bias.
+- Pallas path (`flash_attention`): fused, tiled softmax(QK^T)V that never
+  materializes the (T, T) score matrix in HBM — used for long sequences where
+  the quadratic intermediates dominate HBM traffic.
+
+Both paths are numerically interchangeable (see tests/test_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def mha_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pad_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Multi-head attention core on (B, H, T, Dh) tensors.
+
+    Args:
+      q, k, v: (B, H, T, Dh).
+      pad_mask: optional (B, T) bool, True at padded key positions.
+
+    Returns (B, H, T, Dh).
+    """
+    dh = q.shape[-1]
+    scale = 1.0 / math.sqrt(dh)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if pad_mask is not None:
+        neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
+        scores = jnp.where(pad_mask[:, None, None, :], neg, scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (fused, tiled, online softmax)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_pad: int):
+    """One (batch*head, q-block) program: online-softmax over key blocks.
+
+    Refs (per program):
+      len_ref: (1,) int32 in SMEM — valid key length for this batch row.
+      q_ref:   (BLOCK_Q, Dh) q tile.
+      k_ref:   (T_pad, Dh) full key rows for this batch*head.
+      v_ref:   (T_pad, Dh).
+      o_ref:   (BLOCK_Q, Dh) output tile.
+    """
+    valid_len = len_ref[0]
+    dh = q_ref.shape[-1]
+    block_q = q_ref.shape[0]
+    scale = 1.0 / math.sqrt(dh)
+
+    q = q_ref[:].astype(jnp.float32) * scale
+
+    num_kb = t_pad // block_k
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k_tile = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_tile = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BLOCK_Q, BLOCK_K)
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid_len, s, -jnp.inf)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # guard fully-masked tiles: exp(-inf - -inf) -> use safe max
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(s - m_safe)
+        p = jnp.where(jnp.isfinite(s), p, 0.0)
+        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_tile, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, dh), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    """Fused masked attention via Pallas.
+
+    Args:
+      q, k, v: (B, H, T, Dh); T is padded to a multiple of the block sizes
+        internally.
+      lengths: (B,) int32 valid key lengths (pad positions masked out).
+
+    Returns (B, H, T, Dh), zero rows for fully-masked queries.
+    """
+    b, h, t, dh = q.shape
+    t_pad = max(block_q, block_k) * -(-t // max(block_q, block_k))
+
+    def pad_t(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+
+    qf = pad_t(q).reshape(b * h, t_pad, dh)
+    kf = pad_t(k).reshape(b * h, t_pad, dh)
+    vf = pad_t(v).reshape(b * h, t_pad, dh)
+    lens = jnp.repeat(lengths.astype(jnp.int32), h)  # (B*H,)
+
+    grid = (b * h, t_pad // block_q)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, t_pad=t_pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1,), lambda bh, qb: (bh,), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (None, block_q, dh), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (None, t_pad, dh), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (None, t_pad, dh), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, block_q, dh), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dh), q.dtype),
+    )(lens, qf, kf, vf)
+
+    return out.reshape(b, h, t_pad, dh)[:, :, :t, :]
