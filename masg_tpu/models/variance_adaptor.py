@@ -141,6 +141,8 @@ class VarianceAdaptor(nn.Module):
         if duration_target is not None:
             duration_rounded = duration_target
             x, mel_len = regulate_lengths(x, duration_target, max_mel_len)
+            if mel_pad_mask is None:
+                mel_pad_mask = pad_mask_from_lengths(mel_len, max_mel_len)
         else:
             duration_rounded = jnp.clip(
                 jnp.round(jnp.exp(log_d_pred) - 1.0) * d_control, 0, None

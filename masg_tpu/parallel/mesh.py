@@ -1,0 +1,101 @@
+"""Device mesh + sharding rules.
+
+The reference's distributed story is single-host nn.DataParallel plus NCCL DDP
+in the GE2E trainer (SURVEY §2.8). The TPU-native equivalent is a single
+(data, model) jax.sharding.Mesh:
+
+- batch arrays shard over 'data' (gradient psum rides ICI, inserted by XLA);
+- the Megatron-style tensor-parallel axis 'model' shards the FFN inner dim and
+  the attention head projections (column-parallel in, row-parallel out) — not
+  required for parity at 35M params, but the rules below make the full train
+  step runnable at tp > 1 for scale-out;
+- multi-host expansion is jax.distributed.initialize + the same mesh over DCN.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+# parameter-path regex -> PartitionSpec over ('data', 'model') mesh axes.
+# flax Dense kernels are (in, out); Conv kernels are (window, in, out).
+_PARAM_RULES = [
+    # FFN: column-parallel first conv (shard inner dim), row-parallel second
+    (re.compile(r".*pos_ffn.*w_1.*kernel"), P(None, None, "model")),
+    (re.compile(r".*pos_ffn.*w_1.*bias"), P("model")),
+    (re.compile(r".*pos_ffn.*w_2.*kernel"), P(None, "model", None)),
+    # attention: shard projected head dim; fc contracts over it
+    (re.compile(r".*slf_attn.*w_[qkv]s.*kernel"), P(None, "model")),
+    (re.compile(r".*slf_attn.*w_[qkv]s.*bias"), P("model")),
+    (re.compile(r".*slf_attn.*fc.*kernel"), P("model", None)),
+    # postnet inner convs (512 channels)
+    (re.compile(r".*postnet.*conv_[0-3].*kernel"), P(None, None, "model")),
+]
+
+
+def param_pspec(path: str, value) -> P:
+    for rule, spec in _PARAM_RULES:
+        if rule.match(path):
+            # only shard when the annotated dim divides evenly; checked by caller
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """device_put every param with its rule's NamedSharding (replicated
+    fallback; dims that don't divide the mesh axis stay replicated)."""
+    n_model = mesh.shape["model"]
+
+    def place(path, x):
+        spec = param_pspec(_path_str(path), x)
+        # validate divisibility; fall back to replication otherwise
+        ok = True
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            size = mesh.shape[axis] if isinstance(axis, str) else 1
+            if dim >= x.ndim or x.shape[dim] % size != 0:
+                ok = False
+        if not ok or n_model == 1:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard leading (batch) dim of every array over the 'data' axis."""
+
+    def place(x):
+        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )

@@ -1,0 +1,181 @@
+"""Jitted train / eval steps.
+
+The reference runs up to three separate backward passes per step
+(train.py:151-197): FastSpeech2 reconstruction loss, negated speaker-prior
+log-likelihood (embeddings detached), and the scheduled adversarial
+language-discriminator loss on a speaker-shuffled second forward. Gradient
+accumulation over separate backwards is identical to one backward of the sum,
+so here everything is ONE combined differentiable scalar with stop_gradient
+reproducing each detach — a single XLA-compiled graph per step.
+
+Batches are dicts of static-shape arrays (see data/), so one compilation per
+(L, T) bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.fastspeech2 import FastSpeech2
+from ..models.loss import FS2Losses, fastspeech2_loss, speaker_prior_log_prob
+from ..models.speaker_encoder import SpeechEmbedder, bce_with_logits_sum, chunk_mels
+from .state import TrainState
+
+
+class StepMetrics(NamedTuple):
+    total: jnp.ndarray
+    mel: jnp.ndarray
+    postnet_mel: jnp.ndarray
+    pitch: jnp.ndarray
+    energy: jnp.ndarray
+    duration: jnp.ndarray
+    speaker_prior: jnp.ndarray  # eloss (mean GMM log-prob, pre-negation)
+    dloss: jnp.ndarray  # adversarial language-classification loss
+    grad_norm: jnp.ndarray
+
+
+def _forward(model, params, batch_stats, batch, rng, train: bool, speakers=None,
+             speaker_meta=None):
+    variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = dict(
+        mel_lens=batch["mel_lens"],
+        p_targets=batch["pitches"],
+        e_targets=batch["energies"],
+        d_targets=batch["durations"],
+        accents=batch.get("accents"),
+        speaker_meta=batch["speaker_meta"] if speaker_meta is None else speaker_meta,
+        deterministic=not train,
+    )
+    args = (
+        batch["speakers"] if speakers is None else speakers,
+        batch["texts"],
+        batch["src_lens"],
+        batch["mels"].shape[1],
+    )
+    if train:
+        out, updates = model.apply(
+            variables, *args, **kwargs, rngs={"dropout": rng}, mutable=["batch_stats"]
+        )
+        return out, updates["batch_stats"]
+    out = model.apply(variables, *args, **kwargs)
+    return out, batch_stats
+
+
+def make_train_step(
+    model: FastSpeech2,
+    pitch_feature_level: str = "phoneme_level",
+    energy_feature_level: str = "phoneme_level",
+    use_speaker_prior: bool = True,
+    use_clf: bool = False,
+    discriminator: Optional[SpeechEmbedder] = None,
+    discriminator_params: Optional[Any] = None,
+    lambd: float = 1.0,
+    total_step: int = 30000,
+    lang_meta_index: int = 2,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, StepMetrics]]:
+    """Build the jittable train step closure.
+
+    `lang_meta_index` selects which speaker_meta column is the binary language
+    label (reference train.py:185: speaker_meta[:, 2] == japanese).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng, step):
+        rng_drop, rng_perm, rng_drop2 = jax.random.split(rng, 3)
+        out, new_bs = _forward(model, params, batch_stats, batch, rng_drop, True)
+
+        losses = fastspeech2_loss(
+            out,
+            batch["mels"],
+            batch["pitches"],
+            batch["energies"],
+            batch["durations"],
+            pitch_feature_level,
+            energy_feature_level,
+        )
+        total = losses.total
+
+        eloss = jnp.asarray(0.0)
+        if use_speaker_prior and out.speaker_gmm is not None:
+            eloss = speaker_prior_log_prob(out.speaker_emb, out.speaker_gmm)
+            total = total - eloss  # maximize log-likelihood (train.py:163-166)
+
+        dloss = jnp.asarray(0.0)
+        if use_clf:
+            assert discriminator is not None and discriminator_params is not None
+            bsz = batch["speakers"].shape[0]
+            reorder = jax.random.permutation(rng_perm, bsz)
+            out_x, new_bs = _forward(
+                model, params, new_bs, batch, rng_drop2, True,
+                speakers=batch["speakers"][reorder],
+                speaker_meta=batch["speaker_meta"][reorder],
+            )
+            chunks = chunk_mels(out_x.mel, 150)  # (B * n_chunks, 150, n_mels)
+            n_chunks = chunks.shape[0] // bsz
+            langs = jnp.repeat(
+                batch["speaker_meta"][reorder][:, lang_meta_index], n_chunks
+            )
+            disc_out = discriminator.apply(
+                {"params": discriminator_params}, chunks, deterministic=True
+            )
+            dloss = bce_with_logits_sum(disc_out["da_lang_logits"], langs)
+            # sigmoid warm-up schedule * lambda, normalized by chunk count
+            # (reference train.py:195-196)
+            sched = 2.0 / (1.0 + jnp.exp(-10.0 * (step / total_step))) - 1.0
+            total = total + dloss * sched * lambd / langs.shape[0]
+
+        metrics = StepMetrics(
+            total=losses.total,
+            mel=losses.mel,
+            postnet_mel=losses.postnet_mel,
+            pitch=losses.pitch,
+            energy=losses.energy,
+            duration=losses.duration,
+            speaker_prior=eloss,
+            dloss=dloss,
+            grad_norm=jnp.asarray(0.0),
+        )
+        return total, (metrics, new_bs)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        step = state.step.astype(jnp.float32)
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng, step
+        )
+        gnorm = optax_global_norm(grads)
+        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        return state, metrics._replace(grad_norm=gnorm)
+
+    return train_step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_eval_step(
+    model: FastSpeech2,
+    pitch_feature_level: str = "phoneme_level",
+    energy_feature_level: str = "phoneme_level",
+    use_speaker_prior: bool = True,
+):
+    """Validation step: losses on a batch without dropout/param updates
+    (reference evaluate.py:18-75)."""
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        out, _ = _forward(model, state.params, state.batch_stats, batch, None, False)
+        losses = fastspeech2_loss(
+            out, batch["mels"], batch["pitches"], batch["energies"],
+            batch["durations"], pitch_feature_level, energy_feature_level,
+        )
+        eloss = jnp.asarray(0.0)
+        if use_speaker_prior and out.speaker_gmm is not None:
+            eloss = speaker_prior_log_prob(out.speaker_emb, out.speaker_gmm)
+        return losses, eloss, out
+
+    return eval_step

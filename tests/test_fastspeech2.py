@@ -31,17 +31,20 @@ def tiny_config(n_speakers=4):
 
 def make_batch(rng, B=2, L=11, T=40, n_mels=80, meta_dim=4):
     texts = rng.integers(1, 100, size=(B, L)).astype(np.int32)
-    src_lens = np.array([L, L - 3], dtype=np.int32)
-    texts[1, L - 3 :] = 0
+    src_lens = np.full(B, L, dtype=np.int32)
+    src_lens[1::2] = L - 3  # every other item shorter, pads zeroed
+    for i in range(B):
+        texts[i, src_lens[i]:] = 0
     accents = rng.integers(0, 5, size=(B, L)).astype(np.int32)
     durations = rng.integers(1, 5, size=(B, L)).astype(np.int32)
-    durations[1, L - 3 :] = 0
+    for i in range(B):
+        durations[i, src_lens[i]:] = 0
     mel_lens = durations.sum(axis=1).astype(np.int32)
     T = int(mel_lens.max())
     mels = rng.normal(size=(B, T, n_mels)).astype(np.float32)
     pitches = rng.normal(size=(B, L)).astype(np.float32)
     energies = rng.normal(size=(B, L)).astype(np.float32)
-    speakers = np.array([0, 2], dtype=np.int32)
+    speakers = (np.arange(B) % 4).astype(np.int32)
     meta = np.zeros((B, meta_dim), dtype=np.float32)
     meta[:, 0] = 1.0
     meta[:, 2] = 1.0
