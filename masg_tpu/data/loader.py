@@ -1,0 +1,73 @@
+"""Batching loader with background prefetch.
+
+Replaces the reference's torch DataLoader(batch_size*group_size, workers=20)
+(train.py:53-63): mega-batches of batch_size*group_size items are drawn
+shuffled, sorted by text length inside the mega-batch, split into group_size
+real batches, and prefetched on a host thread so feature loading overlaps
+device compute (the TPU equivalent of pinned-memory workers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+class GroupedLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 16,
+        group_size: int = 4,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        assert batch_size * group_size < len(dataset) or drop_last is False, (
+            "dataset smaller than one mega-batch"
+        )
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.group_size = group_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        mega = self.batch_size * self.group_size
+        n = len(self.dataset)
+        return n // mega if self.drop_last else (n + mega - 1) // mega
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def _produce(self, q: "queue.Queue"):
+        mega = self.batch_size * self.group_size
+        idx = self._epoch_indices()
+        try:
+            for lo in range(0, len(idx), mega):
+                chunk = idx[lo : lo + mega]
+                if self.drop_last and len(chunk) < mega:
+                    break
+                data = [self.dataset[int(i)] for i in chunk]
+                q.put(self.dataset.collate(data))
+        finally:
+            q.put(None)
+
+    def __iter__(self) -> Iterator[List[Dict[str, np.ndarray]]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item

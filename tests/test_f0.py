@@ -1,0 +1,77 @@
+"""F0 estimator tests on synthetic signals (pyworld is unavailable in this
+image; accuracy targets mirror what DIO+StoneMask achieves on these cases)."""
+
+import numpy as np
+import pytest
+
+from masg_tpu.audio.f0 import dio, extract_f0, stonemask
+
+SR = 22050
+FRAME_PERIOD = 256 / 22050 * 1000
+
+
+def synth_tone(f0_hz, seconds=1.0, harmonics=4, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * SR)) / SR
+    sig = sum((0.6 / h) * np.sin(2 * np.pi * f0_hz * h * t + 0.1 * h) for h in range(1, harmonics + 1))
+    sig = sig + noise * rng.normal(size=t.shape)
+    return sig.astype(np.float64)
+
+
+@pytest.mark.parametrize("f0_true", [110.0, 220.0, 330.0])
+def test_dio_constant_tone(f0_true):
+    x = synth_tone(f0_true)
+    f0, t = dio(x, SR, FRAME_PERIOD)
+    # expected frame count matches pyworld convention
+    assert len(f0) == int(len(x) / SR * 1000 / FRAME_PERIOD) + 1
+    voiced = f0[8:-8][f0[8:-8] > 0]
+    assert len(voiced) > 0.8 * len(f0[8:-8])
+    err = np.abs(voiced - f0_true) / f0_true
+    assert np.median(err) < 0.02, (f0_true, np.median(err))
+
+
+def test_stonemask_refines_coarse_estimates():
+    """StoneMask's job: pull coarse (jittered) DIO estimates back to the true
+    F0 using instantaneous frequency."""
+    f0_true = 187.3
+    x = synth_tone(f0_true, noise=0.01)
+    f0, t = dio(x, SR, FRAME_PERIOD)
+    rng = np.random.default_rng(0)
+    coarse = np.where(f0 > 0, f0 * (1 + 0.03 * rng.uniform(-1, 1, size=f0.shape)), 0.0)
+    refined = stonemask(x, coarse, t, SR)
+    m = f0 > 0
+    err_coarse = np.median(np.abs(coarse[m] - f0_true))
+    err_after = np.median(np.abs(refined[m] - f0_true))
+    assert err_after < err_coarse / 3, (err_coarse, err_after)
+    assert err_after / f0_true < 0.005
+
+
+def test_stonemask_keeps_good_estimates():
+    f0_true = 187.3
+    x = synth_tone(f0_true, noise=0.01)
+    f0, t = dio(x, SR, FRAME_PERIOD)
+    refined = stonemask(x, f0, t, SR)
+    m = f0 > 0
+    # refinement stays within 0.5% of truth and never invents voicing
+    assert np.median(np.abs(refined[m] - f0_true)) / f0_true < 0.005
+    np.testing.assert_array_equal(refined[~m], 0.0)
+
+
+def test_unvoiced_noise_is_mostly_zero():
+    rng = np.random.default_rng(1)
+    x = 0.1 * rng.normal(size=SR)
+    f0, t = dio(x, SR, FRAME_PERIOD)
+    assert np.mean(f0 > 0) < 0.3  # mostly unvoiced
+
+
+def test_vibrato_tracking():
+    t = np.arange(SR) / SR
+    inst = 220.0 + 15.0 * np.sin(2 * np.pi * 3.0 * t)  # slow vibrato
+    phase = 2 * np.pi * np.cumsum(inst) / SR
+    x = np.sin(phase) + 0.4 * np.sin(2 * phase)
+    f0 = extract_f0(x, SR, FRAME_PERIOD, use_native=False)
+    frames_t = np.arange(len(f0)) * FRAME_PERIOD / 1000
+    m = f0 > 0
+    expect = 220.0 + 15.0 * np.sin(2 * np.pi * 3.0 * frames_t)
+    err = np.abs(f0[m] - expect[m])
+    assert np.median(err) < 6.0  # tracks within a few Hz
