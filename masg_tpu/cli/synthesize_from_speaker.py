@@ -1,0 +1,101 @@
+"""Synthesis from a raw speaker-embedding vector (bypasses the table).
+
+Equivalent of the reference's `python synthesize_from_speaker.py -s
+path/to/embedding.npy ...` (synthesize_from_speaker.py:106-261 ->
+model.synthesize_from_speaker_emb).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-r", "--restore_step", type=int, default=0)
+    parser.add_argument("-t", "--text", type=str, default=None)
+    parser.add_argument("--phones", type=str, default=None)
+    parser.add_argument("--accents", type=str, default=None)
+    parser.add_argument("-s", "--speaker_emb", type=str, required=True,
+                        help="path to a .npy embedding (e.g. from speaker_gen)")
+    parser.add_argument("-l", "--language", type=str, default="ja",
+                        choices=["ja", "en", "zh"])
+    parser.add_argument("--use_accent", action="store_true")
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("--pitch_control", type=float, default=1.0)
+    parser.add_argument("--energy_control", type=float, default=1.0)
+    parser.add_argument("--duration_control", type=float, default=1.0)
+    parser.add_argument("--no_vocoder", action="store_true")
+    parser.add_argument("--max_frames", type=int, default=None,
+                        help="mel frame cap (default model.max_seq_len); "
+                             "smaller caps compile much faster on TPU")
+    parser.add_argument("--result_path", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    from ..core.config import load_config_dir
+    from ..infer.synthesis import load_model, round_up, save_synth_results, synthesize_batch
+    from ..infer.vocoder import get_vocoder
+    from ..text import ACCENT_TO_ID, NO_ACCENT_ID, phone_string_to_sequence, text_to_sequence
+
+    cfg = load_config_dir(args.config)
+    model, variables = load_model(cfg, args.restore_step)
+    emb = np.load(args.speaker_emb)
+    if emb.ndim == 1:
+        emb = emb[None, :]
+
+    accents_ids = None
+    if args.phones:
+        ids = phone_string_to_sequence(args.phones)
+        raw_text = args.phones
+        if args.accents:
+            accents_ids = [ACCENT_TO_ID[c] for c in args.accents][: len(ids)]
+    else:
+        assert args.text is not None
+        raw_text = args.text
+        if args.language == "ja":
+            from ..text.g2p import preprocess_japanese
+
+            phones, accents = preprocess_japanese(args.text)
+            ids = text_to_sequence(phones)
+            if args.use_accent:
+                accents_ids = [ACCENT_TO_ID[c] for c in accents][: len(ids)]
+        else:
+            from ..text.g2p import preprocess_english
+
+            ids = text_to_sequence(preprocess_english(args.text))
+
+    L = round_up(len(ids), 16)
+    texts = np.zeros((1, L), np.int32)
+    texts[0, : len(ids)] = ids
+    acc = np.zeros((1, L), np.int32)
+    if accents_ids is not None:
+        acc[0, : len(accents_ids)] = accents_ids
+    else:
+        acc[0, : len(ids)] = NO_ACCENT_ID
+
+    batch = {
+        "ids": ["from_emb_" + (raw_text[:16].replace(" ", "_") or "utt")],
+        "raw_texts": [raw_text],
+        "texts": texts,
+        "src_lens": np.array([len(ids)], np.int32),
+        "accents": acc,
+    }
+    output = synthesize_batch(
+        model, variables, batch,
+        p_control=args.pitch_control, e_control=args.energy_control,
+        d_control=args.duration_control,
+        max_mel_len=args.max_frames or cfg.model.max_seq_len,
+        speaker_emb=emb.astype(np.float32),
+    )
+    vocoder = None if args.no_vocoder else get_vocoder(cfg.model, cfg.config_dir)
+    result_path = args.result_path or cfg.train.path.result_path
+    written = save_synth_results(cfg, batch, output, vocoder, result_path)
+    print(f"mel_len={int(np.asarray(output.mel_len)[0])} -> {result_path}")
+    for w in written:
+        print("wrote", w)
+
+
+if __name__ == "__main__":
+    main()

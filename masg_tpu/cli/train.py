@@ -1,0 +1,52 @@
+"""Training CLI.
+
+Drop-in equivalent of the reference's `python train.py -c <config_dir>
+[--use_clf] [--restore_step N] [--checkpoint p] [--corpus A B ...]`
+(train.py:296-343). Run as `python -m masg_tpu.cli.train ...`.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="experiment config directory")
+    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="warm-start model weights from another run's ckpt dir")
+    parser.add_argument("--use_clf", action="store_true",
+                        help="adversarial GE2E language discriminator branch")
+    parser.add_argument("--corpus", type=str, nargs="*", default=None)
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="stop after N steps this invocation (smoke runs)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    args = parser.parse_args(argv)
+
+    from ..core.config import load_config_dir
+    from ..train.loop import build_experiment
+
+    cfg = load_config_dir(args.config)
+    trainer = build_experiment(
+        cfg,
+        corpora=args.corpus,
+        use_clf=args.use_clf,
+        restore_step=args.restore_step,
+        checkpoint=args.checkpoint,
+        seed=args.seed,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    n_params = sum(
+        x.size for x in __import__("jax").tree.leaves(trainer.state.params)
+    )
+    print(f"Number of FastSpeech2 Parameters: {n_params}")
+    trainer.fit(restore_step=args.restore_step, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Adversarial (ganlike) training CLI.
+
+Equivalent of the reference's `python train_ganlike.py -c <config_dir> ...`
+(train_ganlike.py:268-315): FastSpeech2 and the GE2E language discriminator
+train jointly under one optimizer with jittered language labels.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--corpus", type=str, nargs="*", default=None)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..core.config import load_config_dir
+    from ..train.loop import build_experiment
+
+    cfg = load_config_dir(args.config)
+    trainer = build_experiment(
+        cfg,
+        corpora=args.corpus,
+        ganlike=True,
+        restore_step=args.restore_step,
+        checkpoint=args.checkpoint,
+        seed=args.seed,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    n_params = sum(
+        x.size for x in __import__("jax").tree.leaves(trainer.state.params)
+    )
+    print(f"Number of GANLike Parameters: {n_params}")
+    trainer.fit(restore_step=args.restore_step, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

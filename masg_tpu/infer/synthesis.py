@@ -1,0 +1,146 @@
+"""Shared synthesis helpers for the inference CLIs.
+
+Reference: synthesize.py:104-131 (forward + synth_samples), utils/tools.py
+:228-274 (per-utterance figure + wav writing), utils/model.py:11-34
+(get_model ckpt restore).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import CheckpointManager
+from ..core.config import ExperimentConfig
+from ..models import FastSpeech2
+from ..ops.length_regulator import expand_scalars
+from ..train.optim import make_optimizer
+from ..train.state import create_train_state
+from ..utils.logging import plot_mel
+from .vocoder import Vocoder, vocoder_infer
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def load_model(
+    cfg: ExperimentConfig,
+    restore_step: int = 0,
+    dtype=jnp.float32,
+) -> tuple:
+    """Build FastSpeech2 and restore weights from the experiment's ckpt dir
+    (reference get_model(train=False), utils/model.py:11-34)."""
+    model = FastSpeech2.from_config(cfg, dtype=dtype)
+    L, T = 16, 64
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros(1, jnp.int32), jnp.zeros((1, L), jnp.int32),
+        jnp.asarray([L], jnp.int32), T,
+        accents=jnp.zeros((1, L), jnp.int32),
+        speaker_meta=jnp.zeros((1, cfg.preprocess.speaker_generation.one_hot_dim)),
+    )
+    if restore_step:
+        tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+        state = create_train_state(model, variables, tx)
+        mgr = CheckpointManager(cfg.train.path.ckpt_path)
+        state = mgr.restore_model_only(restore_step, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return model, variables
+
+
+def synthesize_batch(
+    model: FastSpeech2,
+    variables,
+    batch: Dict[str, np.ndarray],
+    p_control: float = 1.0,
+    e_control: float = 1.0,
+    d_control: float = 1.0,
+    max_mel_len: int = 1000,
+    speaker_emb: Optional[np.ndarray] = None,
+):
+    """Free-running forward. batch: texts/src_lens/accents + speakers
+    + speaker_meta (or an explicit speaker_emb matrix)."""
+    texts = jnp.asarray(batch["texts"])
+    src_lens = jnp.asarray(batch["src_lens"])
+    accents = jnp.asarray(batch["accents"]) if batch.get("accents") is not None else None
+    if speaker_emb is not None:
+        return model.apply(
+            variables, texts, src_lens, max_mel_len, jnp.asarray(speaker_emb),
+            p_control=p_control, e_control=e_control, d_control=d_control,
+            accents=accents, method=FastSpeech2.synthesize_from_speaker_emb,
+        )
+    return model.apply(
+        variables,
+        jnp.asarray(batch["speakers"]), texts, src_lens, max_mel_len,
+        p_control=p_control, e_control=e_control, d_control=d_control,
+        accents=accents, speaker_meta=jnp.asarray(batch["speaker_meta"]),
+    )
+
+
+def save_synth_results(
+    cfg: ExperimentConfig,
+    batch: Dict[str, np.ndarray],
+    output,
+    vocoder: Optional[Vocoder],
+    result_path: str,
+    write_figures: bool = True,
+) -> List[str]:
+    """Per-utterance png + wav (reference synth_samples, utils/tools.py:228-274)."""
+    from ..audio.wavio import write_wav
+
+    os.makedirs(result_path, exist_ok=True)
+    written = []
+    mel_lens = np.asarray(output.mel_len)
+    postnet_mel = np.asarray(output.postnet_mel)
+    hop = cfg.preprocess.stft.hop_length
+    sr = cfg.preprocess.audio.sampling_rate
+
+    if write_figures and cfg.stats is not None:
+        stats = list(cfg.stats.pitch) + list(cfg.stats.energy[:2])
+        durations = np.asarray(output.duration_rounded)
+        pitches = np.asarray(output.pitch_prediction)
+        energies = np.asarray(output.energy_prediction)
+        t_max = postnet_mel.shape[1]
+        for i, basename in enumerate(batch["ids"]):
+            mel_len = int(mel_lens[i])
+            src_len = int(batch["src_lens"][i])
+            mel = postnet_mel[i, :mel_len].T
+            if cfg.preprocess.pitch.feature == "phoneme_level":
+                pitch = np.asarray(
+                    expand_scalars(
+                        jnp.asarray(pitches[i:i+1, :src_len]),
+                        jnp.asarray(durations[i:i+1, :src_len].astype(np.int32)),
+                        t_max,
+                    )
+                )[0][:mel_len]
+            else:
+                pitch = pitches[i, :mel_len]
+            if cfg.preprocess.energy.feature == "phoneme_level":
+                energy = np.asarray(
+                    expand_scalars(
+                        jnp.asarray(energies[i:i+1, :src_len]),
+                        jnp.asarray(durations[i:i+1, :src_len].astype(np.int32)),
+                        t_max,
+                    )
+                )[0][:mel_len]
+            else:
+                energy = energies[i, :mel_len]
+            fig = plot_mel([(mel, pitch, energy)], stats, ["Synthetized Spectrogram"])
+            import matplotlib.pyplot as plt
+
+            fig.savefig(os.path.join(result_path, f"{basename}.png"))
+            plt.close(fig)
+
+    if vocoder is not None:
+        lengths = mel_lens * hop
+        wavs = vocoder_infer(jnp.asarray(postnet_mel), vocoder, lengths)
+        for wav, basename in zip(wavs, batch["ids"]):
+            p = os.path.join(result_path, f"{basename}.wav")
+            write_wav(p, wav, sr)
+            written.append(p)
+    return written

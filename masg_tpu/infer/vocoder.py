@@ -1,0 +1,115 @@
+"""Vocoder loading + batched mel->wav inference.
+
+Reference: utils/model.py:42-92. Honors the HiFi-GAN config.json schema and
+torch checkpoint format (converted to flax params at load; torch is only
+needed when a torch checkpoint is actually supplied). MelGAN is not bundled
+(the reference pulls it from torch.hub at runtime, which a zero-egress
+deployment cannot do) — requesting it raises with a clear message.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hifigan import HiFiGANGenerator, convert_torch_state_dict
+
+DEFAULT_HIFIGAN_CONFIG = {
+    # hifigan/config.json (universal V1)
+    "upsample_rates": [8, 8, 2, 2],
+    "upsample_kernel_sizes": [16, 16, 4, 4],
+    "upsample_initial_channel": 512,
+    "resblock_kernel_sizes": [3, 7, 11],
+    "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+    "num_mels": 80,
+}
+
+
+class Vocoder:
+    def __init__(self, generator: HiFiGANGenerator, params, hop_length: int = 256,
+                 max_wav_value: float = 32768.0):
+        self.generator = generator
+        self.params = params
+        self.hop_length = hop_length
+        self.max_wav_value = max_wav_value
+        self._infer = jax.jit(lambda p, mel: generator.apply({"params": p}, mel))
+
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, n_mels) channel-last log-mel -> (B, T*hop) float wav."""
+        return self._infer(self.params, mel)
+
+
+def get_vocoder(
+    model_config,
+    config_dir: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    rng_seed: int = 0,
+) -> Vocoder:
+    """Build the vocoder named by model_config.vocoder
+    (reference get_vocoder, utils/model.py:42-71).
+
+    checkpoint: optional torch generator ckpt ('generator' state_dict, the
+    upstream HiFi-GAN format) — converted to flax params. Without one the
+    generator is randomly initialized (the reference ships its checkpoints as
+    missing large blobs, so none are available in-tree either).
+    """
+    name = model_config.vocoder.model
+    if name == "MelGAN":
+        raise NotImplementedError(
+            "MelGAN loads via torch.hub in the reference; unavailable without "
+            "network egress. Use vocoder.model='HiFi-GAN'."
+        )
+    if name != "HiFi-GAN":
+        raise ValueError(f"unknown vocoder {name!r}")
+
+    cfg = dict(DEFAULT_HIFIGAN_CONFIG)
+    for candidate in (
+        os.path.join(config_dir or "", "hifigan_config.json"),
+        os.path.join(os.path.dirname(__file__), "..", "..", "hifigan", "config.json"),
+    ):
+        if candidate and os.path.exists(candidate):
+            with open(candidate) as f:
+                cfg.update(json.load(f))
+            break
+
+    gen = HiFiGANGenerator(
+        n_mels=cfg.get("num_mels", 80),
+        upsample_rates=tuple(cfg["upsample_rates"]),
+        upsample_kernel_sizes=tuple(cfg["upsample_kernel_sizes"]),
+        upsample_initial_channel=cfg["upsample_initial_channel"],
+        resblock_kernel_sizes=tuple(cfg["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=tuple(tuple(d) for d in cfg["resblock_dilation_sizes"]),
+    )
+
+    if checkpoint and os.path.exists(checkpoint):
+        import torch
+
+        ckpt = torch.load(checkpoint, map_location="cpu", weights_only=True)
+        state = ckpt.get("generator", ckpt)
+        state = {k: v.numpy() for k, v in state.items()}
+        params = convert_torch_state_dict(state, cfg)
+    else:
+        mel = jnp.zeros((1, 8, cfg.get("num_mels", 80)))
+        params = gen.init(jax.random.PRNGKey(rng_seed), mel)["params"]
+
+    return Vocoder(gen, params)
+
+
+def vocoder_infer(
+    mels: jnp.ndarray,
+    vocoder: Vocoder,
+    lengths: Optional[np.ndarray] = None,
+) -> List[np.ndarray]:
+    """(B, T, n_mels) -> list of int16 wavs, truncated to `lengths` samples
+    (reference vocoder_infer, utils/model.py:74-92)."""
+    wavs = np.asarray(vocoder(mels))
+    wavs = (wavs * vocoder.max_wav_value).astype("int16")
+    out = [w for w in wavs]
+    if lengths is not None:
+        out = [w[: int(l)] for w, l in zip(out, lengths)]
+    return out

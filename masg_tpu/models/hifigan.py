@@ -1,0 +1,187 @@
+"""HiFi-GAN generator (V1) for mel -> waveform synthesis.
+
+Reference: hifigan/models.py:20-174 + hifigan/config.json (universal V1:
+upsample rates [8,8,2,2], kernels [16,16,4,4], 512 initial channels, MRF
+resblock kernels [3,7,11] with dilations (1,3,5)).
+
+TPU design: channel-last (B, T, C) layout throughout; the torch
+ConvTranspose1d is expressed as an input-dilated regular convolution
+(lhs_dilation=stride, pad k-1-p) which is bit-equivalent to torch's
+gradient-of-conv semantics — so converted torch checkpoints reproduce the
+same waveform. Weight norm is folded into the kernels at load time (the
+reference calls remove_weight_norm for inference).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, padding: int,
+           dilation: int = 1) -> jnp.ndarray:
+    """torch Conv1d on channel-last input. w: (k, in, out) flax layout."""
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + b
+
+
+def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int,
+                     padding: int) -> jnp.ndarray:
+    """torch ConvTranspose1d(stride, padding) on channel-last input.
+
+    Implemented as lhs-dilated conv with flipped kernel and pad k-1-p, which
+    is exactly torch's transposed-convolution definition.
+    w: (k, in, out) where in/out are the transpose's in/out channels.
+    """
+    k = w.shape[0]
+    w_flipped = w[::-1]
+    pad = k - 1 - padding
+    return jax.lax.conv_general_dilated(
+        x, w_flipped,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + b
+
+
+class ResBlock(nn.Module):
+    """MRF residual block (reference hifigan/models.py:20-109)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3, 5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            w1 = self.param(
+                f"convs1_{i}_kernel",
+                nn.initializers.normal(0.01),
+                (self.kernel_size, self.channels, self.channels), self.dtype,
+            )
+            b1 = self.param(f"convs1_{i}_bias", nn.initializers.zeros,
+                            (self.channels,), self.dtype)
+            xt = conv1d(xt, w1, b1, get_padding(self.kernel_size, d), d)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            w2 = self.param(
+                f"convs2_{i}_kernel",
+                nn.initializers.normal(0.01),
+                (self.kernel_size, self.channels, self.channels), self.dtype,
+            )
+            b2 = self.param(f"convs2_{i}_bias", nn.initializers.zeros,
+                            (self.channels,), self.dtype)
+            xt = conv1d(xt, w2, b2, get_padding(self.kernel_size, 1), 1)
+            x = xt + x
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """Reference hifigan/models.py:112-174."""
+
+    n_mels: int = 80
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """mel: (B, T, n_mels) channel-last -> wav (B, T * prod(rates))."""
+        ch = self.upsample_initial_channel
+        w = self.param("conv_pre_kernel", nn.initializers.normal(0.01),
+                       (7, self.n_mels, ch), self.dtype)
+        b = self.param("conv_pre_bias", nn.initializers.zeros, (ch,), self.dtype)
+        x = conv1d(mel, w, b, padding=3)
+
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            in_ch = ch // (2 ** i)
+            out_ch = ch // (2 ** (i + 1))
+            wu = self.param(f"ups_{i}_kernel", nn.initializers.normal(0.01),
+                            (k, in_ch, out_ch), self.dtype)
+            bu = self.param(f"ups_{i}_bias", nn.initializers.zeros, (out_ch,), self.dtype)
+            x = conv_transpose1d(x, wu, bu, stride=u, padding=(k - u) // 2)
+
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                r = ResBlock(out_ch, rk, tuple(rd), self.dtype,
+                             name=f"resblock_{i}_{j}")(x)
+                xs = r if xs is None else xs + r
+            x = xs / len(self.resblock_kernel_sizes)
+
+        x = nn.leaky_relu(x)
+        wp = self.param("conv_post_kernel", nn.initializers.normal(0.01),
+                        (7, x.shape[-1], 1), self.dtype)
+        bp = self.param("conv_post_bias", nn.initializers.zeros, (1,), self.dtype)
+        x = conv1d(x, wp, bp, padding=3)
+        return jnp.tanh(x)[..., 0]
+
+
+def convert_torch_state_dict(state_dict, config) -> dict:
+    """Map a torch HiFi-GAN generator state_dict (weight-norm removed or not)
+    to this module's params. torch conv weight (out, in, k) -> flax (k, in, out)."""
+
+    def fold_wn(prefix):
+        if prefix + ".weight" in state_dict:
+            w = state_dict[prefix + ".weight"]
+        else:  # weight-normed: w = g * v / ||v||
+            v = state_dict[prefix + ".weight_v"]
+            g = state_dict[prefix + ".weight_g"]
+            norm = np.sqrt((np.asarray(v) ** 2).sum(axis=(1, 2), keepdims=True))
+            w = np.asarray(g) * np.asarray(v) / norm
+        b = state_dict[prefix + ".bias"]
+        return np.asarray(w), np.asarray(b)
+
+    params = {}
+
+    def put_conv(name, prefix, transpose=False):
+        w, b = fold_wn(prefix)
+        # torch Conv1d: (out, in, k); ConvTranspose1d: (in, out, k)
+        if transpose:
+            w = np.transpose(w, (2, 0, 1))  # (k, in, out)
+        else:
+            w = np.transpose(w, (2, 1, 0))  # (k, in, out)
+        params[name + "_kernel"] = w
+        params[name + "_bias"] = b
+
+    put_conv("conv_pre", "conv_pre")
+    n_up = len(config.get("upsample_rates", [8, 8, 2, 2]))
+    n_res = len(config.get("resblock_kernel_sizes", [3, 7, 11]))
+    for i in range(n_up):
+        put_conv(f"ups_{i}", f"ups.{i}", transpose=True)
+        for j in range(n_res):
+            ridx = i * n_res + j
+            block = {}
+            for c in range(3):
+                w, b = fold_wn(f"resblocks.{ridx}.convs1.{c}")
+                block[f"convs1_{c}_kernel"] = np.transpose(w, (2, 1, 0))
+                block[f"convs1_{c}_bias"] = b
+                w, b = fold_wn(f"resblocks.{ridx}.convs2.{c}")
+                block[f"convs2_{c}_kernel"] = np.transpose(w, (2, 1, 0))
+                block[f"convs2_{c}_bias"] = b
+            params[f"resblock_{i}_{j}"] = block
+    put_conv("conv_post", "conv_post")
+    return params

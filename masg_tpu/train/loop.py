@@ -1,0 +1,369 @@
+"""Training loop + evaluation.
+
+Reference control flow (train.py:30-293): epoch-less `while True` over the
+grouped loader; per real batch one optimizer step (the three backward passes
+are fused into the single jitted train step, train/step.py); periodic
+log/synth/val/save; hard stop at total_step.
+
+Batches are length-bucketed (data/dataset.py) so the jitted step compiles a
+handful of shapes, then the loop is pure dispatch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import CheckpointManager
+from ..core.config import ExperimentConfig
+from ..data.dataset import ConcatDataset, Dataset
+from ..data.loader import GroupedLoader
+from ..models import FastSpeech2
+from ..models.loss import FS2Losses
+from ..utils.logging import Logger, log_losses
+from .optim import make_optimizer
+from .state import TrainState, create_train_state
+from .step import StepMetrics, make_eval_step, make_train_step
+
+
+def batch_to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {
+        k: jnp.asarray(v)
+        for k, v in batch.items()
+        if k not in ("ids", "raw_texts")
+    }
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        model: FastSpeech2,
+        state: TrainState,
+        train_loader: GroupedLoader,
+        val_dataset: Optional[Dataset] = None,
+        use_clf: bool = False,
+        ganlike: bool = False,
+        discriminator=None,
+        discriminator_params=None,
+        vocoder=None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.state = state
+        self.train_loader = train_loader
+        self.val_dataset = val_dataset
+        self.vocoder = vocoder
+
+        t = cfg.train
+        self.total_step = t.step.total_step
+        self.log_step = t.step.log_step
+        self.synth_step = t.step.synth_step
+        self.val_step = t.step.val_step
+        self.save_step = t.step.save_step
+
+        self.ganlike = ganlike
+        if ganlike:
+            from .step import make_ganlike_train_step
+
+            self.train_step_fn = jax.jit(
+                make_ganlike_train_step(
+                    model,
+                    discriminator,
+                    pitch_feature_level=cfg.preprocess.pitch.feature,
+                    energy_feature_level=cfg.preprocess.energy.feature,
+                    use_speaker_prior=cfg.model.multi_speaker,
+                    lambd=t.lambda_,
+                    total_step=self.total_step,
+                )
+            )
+        else:
+            self.train_step_fn = jax.jit(
+                make_train_step(
+                    model,
+                    pitch_feature_level=cfg.preprocess.pitch.feature,
+                    energy_feature_level=cfg.preprocess.energy.feature,
+                    use_speaker_prior=cfg.model.multi_speaker,
+                    use_clf=use_clf,
+                    discriminator=discriminator,
+                    discriminator_params=discriminator_params,
+                    lambd=t.lambda_,
+                    total_step=self.total_step,
+                )
+            )
+        self.eval_step_fn = jax.jit(
+            make_eval_step(
+                model,
+                pitch_feature_level=cfg.preprocess.pitch.feature,
+                energy_feature_level=cfg.preprocess.energy.feature,
+                use_speaker_prior=cfg.model.multi_speaker,
+                param_key="model" if ganlike else None,
+            )
+        )
+
+        self.ckpt = CheckpointManager(t.path.ckpt_path)
+        self.train_logger = Logger(os.path.join(t.path.log_path, "train"))
+        self.val_logger = Logger(os.path.join(t.path.log_path, "val"))
+        self.rng = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+    def fit(self, restore_step: int = 0, max_steps: Optional[int] = None,
+            verbose: bool = True) -> TrainState:
+        step = restore_step + 1
+        stop_at = min(self.total_step, (restore_step + max_steps) if max_steps else self.total_step)
+        log_path = os.path.join(self.cfg.train.path.log_path, "train")
+        os.makedirs(log_path, exist_ok=True)
+
+        t_start = time.time()
+        done = False
+        while not done:
+            for group in self.train_loader:
+                for batch in group:
+                    self.rng, sub = jax.random.split(self.rng)
+                    self.state, metrics = self.train_step_fn(
+                        self.state, batch_to_device(batch), sub
+                    )
+
+                    if step % self.log_step == 0:
+                        m = jax.device_get(metrics)
+                        losses = [m.total, m.mel, m.postnet_mel, m.pitch, m.energy, m.duration]
+                        log_losses(self.train_logger, step, losses,
+                                   eloss=m.speaker_prior, dloss=m.dloss)
+                        msg1 = f"Step {step}/{self.total_step}, "
+                        msg2 = (
+                            "Total Loss: {:.4f}, Mel Loss: {:.4f}, Mel PostNet Loss: {:.4f}, "
+                            "Pitch Loss: {:.4f}, Energy Loss: {:.4f}, Duration Loss: {:.4f}"
+                        ).format(*[float(x) for x in losses])
+                        with open(os.path.join(log_path, "log.txt"), "a") as f:
+                            f.write(msg1 + msg2 + "\n")
+                        if verbose:
+                            rate = step / max(time.time() - t_start, 1e-9)
+                            print(msg1 + msg2 + f" [{rate:.1f} steps/s]")
+
+                    if step % self.val_step == 0 and self.val_dataset is not None:
+                        self.evaluate(step)
+
+                    if step % self.save_step == 0:
+                        self.ckpt.save(step, self.state)
+
+                    if step >= stop_at:
+                        done = True
+                        break
+                    step += 1
+                if done:
+                    break
+            if done:
+                break
+        return self.state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, step: int) -> List[float]:
+        """Dataset-size-weighted mean losses over val.txt
+        (reference evaluate.py:18-75)."""
+        loader = GroupedLoader(
+            self.val_dataset, batch_size=self.train_loader.batch_size,
+            group_size=1, shuffle=False,
+        )
+        sums = None
+        eloss_sum = 0.0
+        count = 0
+        for group in loader:
+            for batch in group:
+                n = len(batch["ids"])
+                losses, eloss, _ = self.eval_step_fn(self.state, batch_to_device(batch))
+                losses = [float(x) for x in losses]
+                if sums is None:
+                    sums = [0.0] * len(losses)
+                sums = [s + l * n for s, l in zip(sums, losses)]
+                eloss_sum += float(eloss) * n
+                count += n
+        means = [s / max(count, 1) for s in sums] if sums else []
+        if means:
+            log_losses(self.val_logger, step, means, eloss=eloss_sum / max(count, 1))
+            msg = (
+                "Validation Step {}, Total Loss: {:.4f}, Mel Loss: {:.4f}, "
+                "Mel PostNet Loss: {:.4f}, Pitch Loss: {:.4f}, Energy Loss: {:.4f}, "
+                "Duration Loss: {:.4f}"
+            ).format(step, *means)
+            val_log = os.path.join(self.cfg.train.path.log_path, "val")
+            os.makedirs(val_log, exist_ok=True)
+            with open(os.path.join(val_log, "log.txt"), "a") as f:
+                f.write(msg + "\n")
+        return means
+
+
+# ----------------------------------------------------------------------
+def build_experiment(
+    cfg: ExperimentConfig,
+    corpora: Optional[List[str]] = None,
+    use_clf: bool = False,
+    ganlike: bool = False,
+    restore_step: int = 0,
+    checkpoint: Optional[str] = None,
+    seed: int = 0,
+    text_bucket: int = 16,
+    mel_bucket: int = 64,
+    dtype=jnp.float32,
+):
+    """Datasets + model + optimizer + Trainer from a config dir
+    (the CLI composition root; reference train.py:30-105)."""
+    corpora = corpora or list(cfg.corpora)
+    assert corpora, "no corpora configured"
+
+    def corpus_dict(name):
+        cc = cfg.corpora[name]
+        return {
+            "dataset": cc.dataset,
+            "path": {"raw_path": cc.raw_path, "preprocessed_path": cc.preprocessed_path},
+            "preprocessing": {
+                "val_size": cfg.preprocess.val_size,
+                "test_size": cfg.preprocess.test_size,
+                "audio": {"sampling_rate": cfg.preprocess.audio.sampling_rate,
+                          "max_wav_value": cfg.preprocess.audio.max_wav_value},
+                "stft": vars(cfg.preprocess.stft),
+                "mel": {"n_mel_channels": cfg.preprocess.mel.n_mel_channels,
+                        "mel_fmin": cfg.preprocess.mel.mel_fmin,
+                        "mel_fmax": cfg.preprocess.mel.mel_fmax},
+                "pitch": vars(cfg.preprocess.pitch),
+                "energy": vars(cfg.preprocess.energy),
+                "speaker_generation": {"metadata": cfg.preprocess.speaker_generation.metadata},
+            },
+            "text": {"text_cleaners": cc.text_cleaners, "language": cc.language},
+            "accent": {"use_accent": cc.use_accent},
+        }
+
+    bs = cfg.train.optimizer.batch_size
+    train_sets = [
+        Dataset("train.txt", corpus_dict(c), batch_size=bs, sort=True,
+                drop_last=True, text_bucket=text_bucket, mel_bucket=mel_bucket)
+        for c in corpora
+    ]
+    val_sets = [
+        Dataset("val.txt", corpus_dict(c), batch_size=bs, sort=False,
+                drop_last=False, text_bucket=text_bucket, mel_bucket=mel_bucket)
+        for c in corpora
+    ]
+    if len(train_sets) > 1:
+        train_ds = ConcatDataset(cfg.config_dir, train_sets)
+        val_ds = ConcatDataset(cfg.config_dir, val_sets)
+    else:
+        train_ds, val_ds = train_sets[0], val_sets[0]
+
+    loader = GroupedLoader(
+        train_ds, batch_size=bs, group_size=cfg.train.group_size, seed=seed,
+        drop_last=False,
+    )
+
+    model = FastSpeech2.from_config(cfg, dtype=dtype)
+
+    # init with one real batch's shapes
+    probe = train_ds.collate([train_ds[i] for i in range(min(2, len(train_ds)))])[0]
+    pb = batch_to_device(probe)
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        pb["speakers"], pb["texts"], pb["src_lens"], probe["mels"].shape[1],
+        mel_lens=pb["mel_lens"], p_targets=pb["pitches"], e_targets=pb["energies"],
+        d_targets=pb["durations"], accents=pb["accents"], speaker_meta=pb["speaker_meta"],
+    )
+    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+
+    discriminator = discriminator_params = None
+    if use_clf or ganlike:
+        from ..models.speaker_encoder import SpeechEmbedder
+
+        discriminator = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels)
+        dpath = cfg.train.discriminator_path
+        if dpath and os.path.exists(dpath):
+            discriminator_params = load_ge2e_checkpoint(dpath, discriminator)
+        else:
+            chunk = jnp.zeros((2, 150, cfg.preprocess.mel.n_mel_channels))
+            discriminator_params = discriminator.init(
+                jax.random.PRNGKey(seed + 1), chunk
+            )["params"]
+
+    if ganlike:
+        # one optimizer over FS2 + discriminator (reference train_ganlike.py:83-88)
+        variables = {
+            "params": {"model": variables["params"],
+                       "discriminator": discriminator_params},
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+    state = create_train_state(model, variables, tx)
+
+    trainer = Trainer(
+        cfg, model, state, loader, val_dataset=val_ds, use_clf=use_clf,
+        ganlike=ganlike,
+        discriminator=discriminator, discriminator_params=discriminator_params,
+        seed=seed,
+    )
+
+    if checkpoint is not None:
+        # warm start model-only from another run (reference --checkpoint)
+        other = CheckpointManager(os.path.dirname(checkpoint) or checkpoint)
+        step = other.latest_step()
+        trainer.state = other.restore_model_only(step, trainer.state)
+    if restore_step:
+        trainer.state = trainer.ckpt.restore(restore_step, trainer.state)
+
+    return trainer
+
+
+def load_ge2e_checkpoint(path: str, discriminator):
+    """Load a GE2E speaker-encoder checkpoint. Supports our orbax layout and
+    the reference's torch {'embedder_net': state_dict} format
+    (train_speech_embedder.py:218-222) via weight conversion."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(path))
+        step = mgr.latest_step()
+        return mgr.restore(step)["params"]
+    # torch checkpoint
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    state = ckpt.get("embedder_net", ckpt)
+    return convert_torch_ge2e(state, discriminator)
+
+
+def convert_torch_ge2e(state_dict, discriminator):
+    """torch LSTM/Linear weights -> flax SpeechEmbedder params."""
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = {}
+    for i in range(discriminator.n_layers):
+        sfx = f"_l{i}"
+        wi = sd[f"LSTM_stack.weight_ih{sfx}"]  # (4H, in)
+        wh = sd[f"LSTM_stack.weight_hh{sfx}"]  # (4H, H)
+        bi = sd[f"LSTM_stack.bias_ih{sfx}"] + sd[f"LSTM_stack.bias_hh{sfx}"]
+        h = wh.shape[1]
+        # torch gate order i,f,g,o == flax OptimizedLSTMCell {i,f,g,o};
+        # flax keeps bias on the h-side dense only, kernels are (in, H)
+        cell = {}
+        for gi, g in enumerate(["i", "f", "g", "o"]):
+            sl = slice(gi * h, (gi + 1) * h)
+            cell[f"i{g}"] = {"kernel": wi[sl].T}
+            cell[f"h{g}"] = {"kernel": wh[sl].T, "bias": bi[sl]}
+        params[f"OptimizedLSTMCell_{i}"] = cell
+    params["projection"] = {
+        "kernel": sd["projection.linear_layer.weight"].T,
+        "bias": sd["projection.linear_layer.bias"],
+    }
+    if discriminator.use_da and "da_classifier.classifier.layer.linear_0.linear_layer.weight" in sd:
+        for j in range(2):
+            params[f"da_linear_{j}"] = {
+                "kernel": sd[f"da_classifier.classifier.layer.linear_{j}.linear_layer.weight"].T,
+                "bias": sd[f"da_classifier.classifier.layer.linear_{j}.linear_layer.bias"],
+            }
+        params["da_linear_out"] = {
+            "kernel": sd["da_classifier.classifier.layer.linear_2.linear_layer.weight"].T,
+            "bias": sd["da_classifier.classifier.layer.linear_2.linear_layer.bias"],
+        }
+    return params

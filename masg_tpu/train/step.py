@@ -153,6 +153,77 @@ def make_train_step(
     return train_step
 
 
+def make_ganlike_train_step(
+    model: FastSpeech2,
+    discriminator: SpeechEmbedder,
+    pitch_feature_level: str = "phoneme_level",
+    energy_feature_level: str = "phoneme_level",
+    use_speaker_prior: bool = True,
+    lambd: float = 1.0,
+    total_step: int = 30000,
+    lang_meta_index: int = 2,
+):
+    """Adversarial variant: FS2 AND the discriminator train jointly under one
+    optimizer, with jittered language labels `langs + U[0,1)`
+    (reference train_ganlike.py:140-170, model/ganlike.py:10-45).
+
+    `state.params` must be {"model": fs2_params, "discriminator": disc_params}.
+    """
+
+    def loss_fn(params, batch_stats, batch, rng, step):
+        rng_drop, rng_perm, rng_drop2, rng_jit = jax.random.split(rng, 4)
+        out, new_bs = _forward(
+            model, params["model"], batch_stats, batch, rng_drop, True
+        )
+        losses = fastspeech2_loss(
+            out, batch["mels"], batch["pitches"], batch["energies"],
+            batch["durations"], pitch_feature_level, energy_feature_level,
+        )
+        total = losses.total
+
+        eloss = jnp.asarray(0.0)
+        if use_speaker_prior and out.speaker_gmm is not None:
+            eloss = speaker_prior_log_prob(out.speaker_emb, out.speaker_gmm)
+            total = total - eloss
+
+        bsz = batch["speakers"].shape[0]
+        reorder = jax.random.permutation(rng_perm, bsz)
+        out_x, new_bs = _forward(
+            model, params["model"], new_bs, batch, rng_drop2, True,
+            speakers=batch["speakers"][reorder],
+            speaker_meta=batch["speaker_meta"][reorder],
+        )
+        chunks = chunk_mels(out_x.mel, 150)
+        n_chunks = chunks.shape[0] // bsz
+        langs = jnp.repeat(batch["speaker_meta"][reorder][:, lang_meta_index], n_chunks)
+        # label jitter (train_ganlike.py:163)
+        langs = langs + jax.random.uniform(rng_jit, langs.shape)
+        disc_out = discriminator.apply(
+            {"params": params["discriminator"]}, chunks, deterministic=True
+        )
+        dloss = bce_with_logits_sum(disc_out["da_lang_logits"], langs)
+        sched = 2.0 / (1.0 + jnp.exp(-10.0 * (step / total_step))) - 1.0
+        total = total + dloss * sched * lambd / langs.shape[0]
+
+        metrics = StepMetrics(
+            total=losses.total, mel=losses.mel, postnet_mel=losses.postnet_mel,
+            pitch=losses.pitch, energy=losses.energy, duration=losses.duration,
+            speaker_prior=eloss, dloss=dloss, grad_norm=jnp.asarray(0.0),
+        )
+        return total, (metrics, new_bs)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        step = state.step.astype(jnp.float32)
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng, step
+        )
+        gnorm = optax_global_norm(grads)
+        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        return state, metrics._replace(grad_norm=gnorm)
+
+    return train_step
+
+
 def optax_global_norm(tree) -> jnp.ndarray:
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
@@ -163,12 +234,15 @@ def make_eval_step(
     pitch_feature_level: str = "phoneme_level",
     energy_feature_level: str = "phoneme_level",
     use_speaker_prior: bool = True,
+    param_key: str = None,
 ):
     """Validation step: losses on a batch without dropout/param updates
-    (reference evaluate.py:18-75)."""
+    (reference evaluate.py:18-75). param_key selects a sub-tree of
+    state.params (the ganlike state nests {"model", "discriminator"})."""
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        out, _ = _forward(model, state.params, state.batch_stats, batch, None, False)
+        params = state.params[param_key] if param_key else state.params
+        out, _ = _forward(model, params, state.batch_stats, batch, None, False)
         losses = fastspeech2_loss(
             out, batch["mels"], batch["pitches"], batch["energies"],
             batch["durations"], pitch_feature_level, energy_feature_level,

@@ -1,0 +1,97 @@
+"""HiFi-GAN generator: shape tests + golden equivalence against the torch
+reference implementation (imported read-only from /root/reference for test
+comparison, with randomly initialized weights converted through
+convert_torch_state_dict)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from masg_tpu.models.hifigan import HiFiGANGenerator, convert_torch_state_dict
+
+TINY = dict(
+    upsample_rates=(4, 4),
+    upsample_kernel_sizes=(8, 8),
+    upsample_initial_channel=32,
+    resblock_kernel_sizes=(3, 7),
+    resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+)
+
+
+def test_output_shape_full_config():
+    gen = HiFiGANGenerator()
+    mel = jnp.zeros((2, 37, 80))
+    params = gen.init(jax.random.PRNGKey(0), mel)
+    wav = gen.apply(params, mel)
+    assert wav.shape == (2, 37 * 256)  # prod(8,8,2,2) = 256 = hop_length
+
+
+def test_matches_torch_reference():
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from hifigan import AttrDict, Generator
+
+    cfg = AttrDict(
+        dict(
+            resblock="1",
+            upsample_rates=list(TINY["upsample_rates"]),
+            upsample_kernel_sizes=list(TINY["upsample_kernel_sizes"]),
+            upsample_initial_channel=TINY["upsample_initial_channel"],
+            resblock_kernel_sizes=list(TINY["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=[list(d) for d in TINY["resblock_dilation_sizes"]],
+        )
+    )
+    torch.manual_seed(0)
+    ref = Generator(cfg)
+    ref.eval()
+    ref.remove_weight_norm()
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_torch_state_dict(state, cfg)
+
+    gen = HiFiGANGenerator(n_mels=80, **TINY)
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(2, 23, 80)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_wav = ref(torch.from_numpy(mel).transpose(1, 2)).squeeze(1).numpy()
+    ours = np.asarray(gen.apply({"params": params}, jnp.asarray(mel)))
+
+    assert ours.shape == ref_wav.shape
+    np.testing.assert_allclose(ours, ref_wav, atol=2e-5)
+
+
+def test_weight_norm_folding():
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from hifigan import AttrDict, Generator
+
+    cfg = AttrDict(
+        dict(
+            resblock="1",
+            upsample_rates=list(TINY["upsample_rates"]),
+            upsample_kernel_sizes=list(TINY["upsample_kernel_sizes"]),
+            upsample_initial_channel=TINY["upsample_initial_channel"],
+            resblock_kernel_sizes=list(TINY["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=[list(d) for d in TINY["resblock_dilation_sizes"]],
+        )
+    )
+    torch.manual_seed(1)
+    ref = Generator(cfg)
+    ref.eval()
+    # convert WITH weight norm still attached (weight_v / weight_g folding)
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_torch_state_dict(state, cfg)
+
+    ref.remove_weight_norm()
+    gen = HiFiGANGenerator(n_mels=80, **TINY)
+    rng = np.random.default_rng(1)
+    mel = rng.normal(size=(1, 11, 80)).astype(np.float32)
+    with torch.no_grad():
+        ref_wav = ref(torch.from_numpy(mel).transpose(1, 2)).squeeze(1).numpy()
+    ours = np.asarray(gen.apply({"params": params}, jnp.asarray(mel)))
+    np.testing.assert_allclose(ours, ref_wav, atol=2e-5)
