@@ -36,8 +36,17 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
 
+    def _check_step(self, step: int) -> None:
+        steps = list(self._mgr.all_steps())
+        if step not in steps:
+            raise FileNotFoundError(
+                f"no checkpoint for step {step} under {self.ckpt_dir} "
+                f"(available: {steps or 'none'})"
+            )
+
     def restore(self, step: int, state: TrainState) -> TrainState:
         """Full restore: model + optimizer (reference --restore_step)."""
+        self._check_step(step)
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -53,6 +62,7 @@ class CheckpointManager:
 
     def restore_model_only(self, step: int, state: TrainState) -> TrainState:
         """Warm start from another run's weights (reference --checkpoint)."""
+        self._check_step(step)
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,

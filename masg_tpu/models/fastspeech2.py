@@ -22,6 +22,7 @@ from ..core.config import ExperimentConfig
 from ..ops.gmm import DiagGMM
 from ..ops.masks import pad_mask_from_lengths
 from .encoder import Decoder, Encoder
+from .jdit import JDIT
 from .postnet import PostNet
 from .variance_adaptor import VarianceAdaptor, make_bins
 
@@ -65,6 +66,8 @@ class FS2Output(NamedTuple):
     mel_len: jnp.ndarray  # (B,)
     speaker_gmm: Optional[DiagGMM] = None  # prior GMM per batch row
     speaker_emb: Optional[jnp.ndarray] = None  # (B, H) table embeddings
+    mel_jdit: Optional[jnp.ndarray] = None  # (B, T, n_mels) JDIT teacher mel
+    alignments: Optional[jnp.ndarray] = None  # (B, T, L) JDIT soft alignments
 
 
 class FastSpeech2(nn.Module):
@@ -95,6 +98,8 @@ class FastSpeech2(nn.Module):
     energy_feature_level: str = "phoneme_level"
     # speaker prior
     gmm_mixtures: int = 3
+    # joint-duration Tacotron2 teacher (reference jdit.use_jdit)
+    use_jdit: bool = False
     # mel
     n_mel_channels: int = 80
     use_flash: bool = False
@@ -140,6 +145,7 @@ class FastSpeech2(nn.Module):
             pitch_feature_level=p.pitch.feature,
             energy_feature_level=p.energy.feature,
             gmm_mixtures=m.speaker_generation.GMM_mixtures,
+            use_jdit=m.jdit.use_jdit,
             n_mel_channels=p.mel.n_mel_channels,
             use_flash=use_flash,
             dtype=dtype,
@@ -182,6 +188,11 @@ class FastSpeech2(nn.Module):
         )
         self.mel_linear = nn.Dense(self.n_mel_channels, dtype=self.dtype)
         self.postnet = PostNet(n_mel_channels=self.n_mel_channels, dtype=self.dtype)
+        if self.use_jdit:
+            self.jdit = JDIT(
+                n_mels=self.n_mel_channels, encoder_dim=self.encoder_hidden,
+                dtype=self.dtype,
+            )
         if self.multi_speaker:
             self.speaker_emb = nn.Embed(self.n_speakers, self.encoder_hidden, dtype=self.dtype)
             self.speaker_enc = SpeakerMetaEncoder(
@@ -195,6 +206,7 @@ class FastSpeech2(nn.Module):
         max_mel_len: int,
         speaker_vec: Optional[jnp.ndarray],
         mel_pad_mask_in: Optional[jnp.ndarray],
+        mels: Optional[jnp.ndarray],
         p_targets: Optional[jnp.ndarray],
         e_targets: Optional[jnp.ndarray],
         d_targets: Optional[jnp.ndarray],
@@ -208,6 +220,15 @@ class FastSpeech2(nn.Module):
         src_pad_mask = pad_mask_from_lengths(src_lens, max_src_len)
 
         x = self.encoder(texts, src_pad_mask, accents, src_lens, deterministic)
+
+        mel_jdit = alignments = None
+        if self.use_jdit and mels is not None:
+            # teacher consumes raw encoder outputs + ground-truth mels
+            # (reference fastspeech2.py:77-78)
+            mel_jdit, _gate, alignments = self.jdit(
+                x, mels, src_pad_mask, deterministic
+            )
+
         if speaker_vec is not None:
             x = x + speaker_vec[:, None, :]
 
@@ -242,6 +263,8 @@ class FastSpeech2(nn.Module):
             mel_pad_mask=mel_pad_mask,
             src_len=src_lens,
             mel_len=jnp.minimum(va.mel_len, mel_pad_mask.shape[1]),
+            mel_jdit=mel_jdit,
+            alignments=alignments,
         )
 
     def __call__(
@@ -250,6 +273,7 @@ class FastSpeech2(nn.Module):
         texts: jnp.ndarray,  # (B, L)
         src_lens: jnp.ndarray,  # (B,)
         max_mel_len: int,
+        mels: Optional[jnp.ndarray] = None,
         mel_lens: Optional[jnp.ndarray] = None,
         p_targets: Optional[jnp.ndarray] = None,
         e_targets: Optional[jnp.ndarray] = None,
@@ -272,7 +296,7 @@ class FastSpeech2(nn.Module):
             pad_mask_from_lengths(mel_lens, max_mel_len) if mel_lens is not None else None
         )
         out = self._synthesis_core(
-            texts, src_lens, max_mel_len, speaker_vec, mel_pad_mask_in,
+            texts, src_lens, max_mel_len, speaker_vec, mel_pad_mask_in, mels,
             p_targets, e_targets, d_targets, p_control, e_control, d_control,
             accents, deterministic,
         )
@@ -292,7 +316,7 @@ class FastSpeech2(nn.Module):
         """Forward pass bypassing the embedding table
         (reference fastspeech2.py:187-303)."""
         return self._synthesis_core(
-            texts, src_lens, max_mel_len, speaker_emb, None,
+            texts, src_lens, max_mel_len, speaker_emb, None, None,
             None, None, None, p_control, e_control, d_control, accents, True,
         )
 

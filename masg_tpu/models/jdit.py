@@ -1,0 +1,204 @@
+"""JDIT: joint-duration Tacotron2 attention teacher.
+
+Reference: model/jdit.py (Decoder :238-490 with location-sensitive attention
+:61-118, Prenet :121-132; JDIT top :493-520). A teacher-forced autoregressive
+decoder consumes FastSpeech2 encoder outputs + ground-truth mels and produces
+a parallel mel + soft alignments; `attention_to_duration` converts argmax
+alignments to per-phoneme durations.
+
+TPU design: the per-frame python loop becomes one `nn.scan` over the teacher
+frames (static length, params broadcast, dropout rngs split per step); the
+prenet runs batched over all frames up front, as in the reference.
+
+Faithfulness note: the reference's `attention2duration` (:511-520) indexes
+`encoder_outputs_size[i]` before `i` is bound and accumulates `time_scaler`
+while asserting a frame-count sum — it cannot run as written. We implement
+the evident intent: durations[b, p] = #frames whose alignment argmax is p.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Prenet(nn.Module):
+    """Two ReLU linears with ALWAYS-ON dropout 0.5 (reference jdit.py:121-132
+    — torch calls F.dropout(training=True) even in eval)."""
+
+    sizes: Tuple[int, int] = (256, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, size in enumerate(self.sizes):
+            x = nn.Dense(size, use_bias=False, dtype=self.dtype, name=f"linear_{i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(0.5, deterministic=False)(x)
+        return x
+
+
+class _DecoderStep(nn.Module):
+    """One teacher-forced decoder frame (reference Decoder.decode,
+    jdit.py:380-417). Scanned over time by JDITDecoder."""
+
+    n_mels: int = 80
+    encoder_dim: int = 256
+    attention_rnn_dim: int = 1024
+    decoder_rnn_dim: int = 1024
+    attention_dim: int = 128
+    location_filters: int = 32
+    location_kernel: int = 31
+    p_attention_dropout: float = 0.1
+    p_decoder_dropout: float = 0.1
+    deterministic: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, frame):
+        # constants (memory etc.) ride in the carry unchanged — scanning them
+        # as inputs would materialize a (T, B, L, E) broadcast
+        (ah, ac), (dh, dc), att_w, att_w_cum, att_ctx, memory, processed_memory, pad_mask = carry
+
+        cell_in = jnp.concatenate([frame, att_ctx], axis=-1)
+        (ah, ac), _ = nn.OptimizedLSTMCell(
+            self.attention_rnn_dim, dtype=self.dtype, name="attention_rnn"
+        )((ah, ac), cell_in)
+        ah = nn.Dropout(self.p_attention_dropout)(ah, deterministic=self.deterministic)
+
+        awc = jnp.stack([att_w, att_w_cum], axis=-1)  # (B, L, 2)
+        loc = nn.Dense(self.attention_dim, use_bias=False, dtype=self.dtype,
+                       name="location_dense")(
+            nn.Conv(self.location_filters, (self.location_kernel,), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="location_conv")(awc)
+        )
+        q = nn.Dense(self.attention_dim, use_bias=False, dtype=self.dtype,
+                     name="query_layer")(ah)[:, None, :]
+        energies = nn.Dense(1, use_bias=False, dtype=self.dtype, name="v")(
+            jnp.tanh(q + loc + processed_memory)
+        )[..., 0]
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, energies.dtype)
+        energies = jnp.where(pad_mask, neg, energies)
+        att_w = jax.nn.softmax(energies, axis=-1)
+        att_ctx = jnp.einsum("bl,ble->be", att_w, memory)
+        att_w_cum = att_w_cum + att_w
+
+        (dh, dc), _ = nn.OptimizedLSTMCell(
+            self.decoder_rnn_dim, dtype=self.dtype, name="decoder_rnn"
+        )((dh, dc), jnp.concatenate([ah, att_ctx], axis=-1))
+        dh = nn.Dropout(self.p_decoder_dropout)(dh, deterministic=self.deterministic)
+
+        hid_ctx = jnp.concatenate([dh, att_ctx], axis=-1)
+        mel_out = nn.Dense(self.n_mels, dtype=self.dtype, name="linear_projection")(hid_ctx)
+        gate_out = nn.Dense(1, dtype=self.dtype, name="gate_layer")(hid_ctx)[..., 0]
+
+        carry = ((ah, ac), (dh, dc), att_w, att_w_cum, att_ctx,
+                 memory, processed_memory, pad_mask)
+        return carry, (mel_out, gate_out, att_w)
+
+
+class JDITDecoder(nn.Module):
+    """Teacher-forced location-sensitive-attention decoder
+    (reference jdit.py:238-490; hyperparameters hardcoded there)."""
+
+    n_mels: int = 80
+    encoder_dim: int = 256
+    attention_rnn_dim: int = 1024
+    decoder_rnn_dim: int = 1024
+    prenet_dim: int = 256
+    attention_dim: int = 128
+    location_filters: int = 32
+    location_kernel: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        memory: jnp.ndarray,  # (B, L, encoder_dim)
+        mels: jnp.ndarray,  # (B, T, n_mels) teacher frames
+        memory_pad_mask: jnp.ndarray,  # (B, L) True at pads
+        deterministic: bool = True,
+    ):
+        b, l, _ = memory.shape
+        t = mels.shape[1]
+
+        # prenet over [go-frame; teacher frames[:-1]] (jdit.py:433-436)
+        go = jnp.zeros((b, 1, self.n_mels), memory.dtype)
+        dec_in = jnp.concatenate([go, mels[:, :-1]], axis=1)
+        dec_in = Prenet((self.prenet_dim, self.prenet_dim), self.dtype,
+                        name="prenet")(dec_in)
+
+        processed_memory = nn.Dense(
+            self.attention_dim, use_bias=False, dtype=self.dtype, name="memory_layer"
+        )(memory)
+
+        scan = nn.scan(
+            _DecoderStep,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+        )
+        init = (
+            (jnp.zeros((b, self.attention_rnn_dim), memory.dtype),
+             jnp.zeros((b, self.attention_rnn_dim), memory.dtype)),
+            (jnp.zeros((b, self.decoder_rnn_dim), memory.dtype),
+             jnp.zeros((b, self.decoder_rnn_dim), memory.dtype)),
+            jnp.zeros((b, l), memory.dtype),
+            jnp.zeros((b, l), memory.dtype),
+            jnp.zeros((b, self.encoder_dim), memory.dtype),
+            memory,
+            processed_memory,
+            memory_pad_mask,
+        )
+        xs = dec_in.transpose(1, 0, 2)  # (T, B, prenet_dim)
+        _, (mel_outputs, gate_outputs, alignments) = scan(
+            n_mels=self.n_mels,
+            encoder_dim=self.encoder_dim,
+            attention_rnn_dim=self.attention_rnn_dim,
+            decoder_rnn_dim=self.decoder_rnn_dim,
+            attention_dim=self.attention_dim,
+            location_filters=self.location_filters,
+            location_kernel=self.location_kernel,
+            deterministic=deterministic,
+            dtype=self.dtype,
+            name="step",
+        )(init, xs)
+
+        return (
+            mel_outputs.transpose(1, 0, 2),  # (B, T, n_mels)
+            gate_outputs.transpose(1, 0),  # (B, T)
+            alignments.transpose(1, 0, 2),  # (B, T, L)
+        )
+
+
+class JDIT(nn.Module):
+    """Reference jdit.py:493-520."""
+
+    n_mels: int = 80
+    encoder_dim: int = 256
+    hop_length: int = 256
+    sampling_rate: int = 22050
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, encoder_outputs, mels, src_pad_mask, deterministic=True):
+        return JDITDecoder(
+            n_mels=self.n_mels, encoder_dim=self.encoder_dim, dtype=self.dtype,
+            name="decoder",
+        )(encoder_outputs, mels, src_pad_mask, deterministic)
+
+
+def attention_to_duration(alignments: jnp.ndarray, src_len: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, L) soft alignments -> (B, L) integer durations: the number of
+    decoder frames whose argmax lands on each phoneme (see module docstring on
+    the reference's unrunnable version)."""
+    l = alignments.shape[2]
+    arg = jnp.argmax(alignments, axis=-1)  # (B, T)
+    onehot = jax.nn.one_hot(arg, l, dtype=jnp.int32)
+    durations = jnp.sum(onehot, axis=1)  # (B, L)
+    valid = jnp.arange(l)[None, :] < src_len[:, None]
+    return jnp.where(valid, durations, 0)

@@ -61,13 +61,13 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_pad: i
     """One (batch*head, q-block) program: online-softmax over key blocks.
 
     Refs (per program):
-      len_ref: (1,) int32 in SMEM — valid key length for this batch row.
+      len_ref: (B*H,) int32 scalar-prefetch — valid key length per batch*head.
       q_ref:   (BLOCK_Q, Dh) q tile.
       k_ref:   (T_pad, Dh) full key rows for this batch*head.
       v_ref:   (T_pad, Dh).
       o_ref:   (BLOCK_Q, Dh) output tile.
     """
-    valid_len = len_ref[0]
+    valid_len = len_ref[pl.program_id(0)]
     dh = q_ref.shape[-1]
     block_q = q_ref.shape[0]
     scale = 1.0 / math.sqrt(dh)
@@ -142,22 +142,25 @@ def flash_attention(
     out = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k, t_pad=t_pad),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,  # lengths array lives in SMEM, prefetched
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1,), lambda bh, qb: (bh,), memory_space=pltpu.SMEM),
                 pl.BlockSpec(
-                    (None, block_q, dh), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
+                    (None, block_q, dh), lambda bh, qb, lens: (bh, qb, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (None, t_pad, dh), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM
+                    (None, t_pad, dh), lambda bh, qb, lens: (bh, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (None, t_pad, dh), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM
+                    (None, t_pad, dh), lambda bh, qb, lens: (bh, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (None, block_q, dh), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
+                (None, block_q, dh), lambda bh, qb, lens: (bh, qb, 0),
+                memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dh), q.dtype),

@@ -91,6 +91,7 @@ class Trainer:
                     energy_feature_level=cfg.preprocess.energy.feature,
                     use_speaker_prior=cfg.model.multi_speaker,
                     use_clf=use_clf,
+                    use_jdit=cfg.model.jdit.use_jdit,
                     discriminator=discriminator,
                     discriminator_params=discriminator_params,
                     lambd=t.lambda_,

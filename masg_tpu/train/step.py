@@ -43,6 +43,7 @@ def _forward(model, params, batch_stats, batch, rng, train: bool, speakers=None,
              speaker_meta=None):
     variables = {"params": params, "batch_stats": batch_stats}
     kwargs = dict(
+        mels=batch["mels"],
         mel_lens=batch["mel_lens"],
         p_targets=batch["pitches"],
         e_targets=batch["energies"],
@@ -72,6 +73,7 @@ def make_train_step(
     energy_feature_level: str = "phoneme_level",
     use_speaker_prior: bool = True,
     use_clf: bool = False,
+    use_jdit: bool = False,
     discriminator: Optional[SpeechEmbedder] = None,
     discriminator_params: Optional[Any] = None,
     lambd: float = 1.0,
@@ -98,6 +100,10 @@ def make_train_step(
             energy_feature_level,
         )
         total = losses.total
+
+        if use_jdit and out.mel_jdit is not None:
+            # plain (unmasked) MSE, as in the reference (train.py:150-154)
+            total = total + jnp.mean((out.mel_jdit - batch["mels"]) ** 2)
 
         eloss = jnp.asarray(0.0)
         if use_speaker_prior and out.speaker_gmm is not None:

@@ -165,3 +165,76 @@ def test_param_count_reasonable():
     n = sum(x.size for x in jax.tree.leaves(variables["params"]))
     # reference prints ~35M params (train.py:92) at this config
     assert 25e6 < n < 45e6, n
+
+
+def test_jdit_path():
+    """use_jdit: teacher mel + alignments come back; train step consumes them."""
+    import jax
+
+    cfg = tiny_config()
+    cfg.model.jdit.use_jdit = True
+    model = FastSpeech2.from_config(cfg)
+    rng = np.random.default_rng(5)
+    b = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        b["speakers"], b["texts"], b["src_lens"], b["max_mel_len"],
+        mels=b["mels"], mel_lens=b["mel_lens"], p_targets=b["p_targets"],
+        e_targets=b["e_targets"], d_targets=b["d_targets"],
+        accents=b["accents"], speaker_meta=b["speaker_meta"],
+    )
+    out = model.apply(
+        variables,
+        b["speakers"], b["texts"], b["src_lens"], b["max_mel_len"],
+        mels=b["mels"], mel_lens=b["mel_lens"], p_targets=b["p_targets"],
+        e_targets=b["e_targets"], d_targets=b["d_targets"],
+        accents=b["accents"], speaker_meta=b["speaker_meta"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    T = b["max_mel_len"]
+    assert out.mel_jdit.shape == (2, T, 80)
+    assert out.alignments.shape == (2, T, b["texts"].shape[1])
+    align = np.asarray(out.alignments)
+    np.testing.assert_allclose(align.sum(-1), 1.0, atol=1e-4)
+
+    from masg_tpu.models.jdit import attention_to_duration
+
+    d = attention_to_duration(out.alignments, out.src_len)
+    assert np.asarray(d).sum(1).tolist() == [T, T]
+
+
+def test_jdit_train_step_decreases():
+    import jax
+
+    from masg_tpu.train.optim import make_optimizer
+    from masg_tpu.train.state import create_train_state
+    from masg_tpu.train.step import make_train_step
+
+    cfg = tiny_config()
+    cfg.model.jdit.use_jdit = True
+    cfg.train.optimizer.warm_up_step = 50
+    model = FastSpeech2.from_config(cfg)
+    rng = np.random.default_rng(6)
+    b = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        b["speakers"], b["texts"], b["src_lens"], b["max_mel_len"],
+        mels=b["mels"], mel_lens=b["mel_lens"], p_targets=b["p_targets"],
+        e_targets=b["e_targets"], d_targets=b["d_targets"],
+        accents=b["accents"], speaker_meta=b["speaker_meta"],
+    )
+    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+    state = create_train_state(model, variables, tx)
+    step_fn = jax.jit(make_train_step(model, use_jdit=True))
+    sb = dict(speakers=b["speakers"], texts=b["texts"], src_lens=b["src_lens"],
+              mels=b["mels"], mel_lens=b["mel_lens"], pitches=b["p_targets"],
+              energies=b["e_targets"], durations=b["d_targets"],
+              accents=b["accents"], speaker_meta=b["speaker_meta"])
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, sb, sub)
+        if first is None:
+            first = float(metrics.total)
+    assert np.isfinite(float(metrics.total))

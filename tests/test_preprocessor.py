@@ -96,3 +96,62 @@ def test_preprocess_end_to_end(tmp_path):
     # metadata format: basename|speaker|{phones}|raw_text
     parts = train[0].split("|")
     assert len(parts) == 4 and parts[2].startswith("{") and parts[2].endswith("}")
+
+
+def test_alignment_prep(tmp_path):
+    """Full-context .lab -> TextGrid + accent files (prepare_alignments)."""
+    from masg_tpu.cli.prepare_alignments import main as prep_main
+    from masg_tpu.preprocessor.textgrid import read_textgrid
+
+    lab_dir = tmp_path / "labs"
+    lab_dir.mkdir()
+    # minimal HTS full-context label: times in 100ns, phone in -p+ context,
+    # A:/F: accent fields consumed by pp_symbols
+    lines = [
+        "0 2000000 xx^xx-sil+k=o/A:-50+-50+-50/F:xx_xx",
+        "2000000 3500000 xx^sil-k+o=N/A:0+1+2/F:2_1",
+        "3500000 5500000 sil^k-o+N=pau/A:0+2+1/F:2_1",
+        "5500000 6000000 k^o-pau+n=i/A:-50+-50+-50/F:xx_xx",
+        "6000000 7500000 o^pau-n+i=sil/A:0+1+1/F:1_1",
+        "7500000 9000000 pau^n-i+sil=xx/A:0+1+1/F:1_1",
+        "9000000 10000000 n^i-sil+xx=xx/A:-50+-50+-50/F:xx_xx",
+    ]
+    (lab_dir / "utt1.lab").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "out"
+    prep_main([str(lab_dir), str(out), "spkA", "--with_accent"])
+
+    tg = read_textgrid(str(out / "TextGrid" / "spkA" / "utt1.TextGrid"))
+    texts = [i.text for i in tg.get_tier_by_name("phones").intervals]
+    # 'sil' stays as-is (only Julius silB/silE are blanked, matching the
+    # reference convert_label.py:43-48); pau -> sp; the feature extractor's
+    # sil_phones list handles both spellings
+    assert texts == ["sil", "k", "o", "sp", "n", "i", "sil"]
+    accent = (out / "accent" / "utt1.accent").read_text()
+    assert len(accent) == 5  # k o sp n i
+    assert set(accent) <= {"0", "[", "]", "#"}
+
+
+def test_ge2e_preprocess_chunks(tmp_path):
+    """VAD split + chunking produces 150-frame mel archives."""
+    import numpy as np
+
+    from masg_tpu.audio.wavio import write_wav
+    from masg_tpu.preprocessor.ge2e_preprocess import build_ge2e_corpus
+
+    sr = 22050
+    # chunks need 150 frames * 256 hop ~ 1.74 s of voiced audio per span
+    t = np.arange(int(6.0 * sr)) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    # insert a silent gap splitting two >2 s voiced spans
+    wav[int(2.5 * sr) : int(3.0 * sr)] = 0.0
+    p = tmp_path / "a.wav"
+    write_wav(str(p), wav, sr)
+
+    written = build_ge2e_corpus(
+        {"spk1": ([str(p)], "F", "ja")}, str(tmp_path / "chunks"), "SYNTH", sr
+    )
+    assert written == ["synth_spk1_F_ja.npy"]
+    arr = np.load(tmp_path / "chunks" / written[0])
+    assert arr.ndim == 3 and arr.shape[1] == 80 and arr.shape[2] == 150
+    assert arr.shape[0] >= 2
