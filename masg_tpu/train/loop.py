@@ -147,6 +147,12 @@ class Trainer:
                             rate = step / max(time.time() - t_start, 1e-9)
                             print(msg1 + msg2 + f" [{rate:.1f} steps/s]")
 
+                    if step % self.synth_step == 0:
+                        try:
+                            self.synth_sample(batch, step)
+                        except Exception as e:  # synth is best-effort telemetry
+                            print(f"synth_step failed: {e}")
+
                     if step % self.val_step == 0 and self.val_dataset is not None:
                         self.evaluate(step)
 
@@ -162,6 +168,57 @@ class Trainer:
             if done:
                 break
         return self.state
+
+    # ------------------------------------------------------------------
+    def synth_sample(self, batch: Dict[str, np.ndarray], step: int) -> None:
+        """Reference synth_step hook (train.py:225-260 + utils/tools.py
+        synth_one_sample): render prediction-vs-GT mel figures with
+        pitch/energy overlays for the first batch item; vocode both when a
+        vocoder is attached."""
+        from ..utils.logging import log_losses, plot_mel
+
+        losses, eloss, out = self.eval_step_fn(self.state, batch_to_device(batch))
+        i = 0
+        mel_len = int(np.asarray(out.mel_len)[i])
+        src_len = int(np.asarray(out.src_len)[i])
+        if mel_len == 0:
+            return
+        mel_pred = np.asarray(out.postnet_mel)[i, :mel_len].T
+        mel_gt = np.asarray(batch["mels"])[i, :mel_len].T
+        duration = np.asarray(batch["durations"])[i, :src_len]
+        pitch = np.repeat(np.asarray(batch["pitches"])[i, :src_len], duration)[:mel_len]
+        energy = np.repeat(np.asarray(batch["energies"])[i, :src_len], duration)[:mel_len]
+        stats = (
+            list(self.cfg.stats.pitch) + list(self.cfg.stats.energy[:2])
+            if self.cfg.stats is not None
+            else [-1, 1, 0, 1, -1, 1]
+        )
+        fig = plot_mel(
+            [(mel_pred, pitch, energy), (mel_gt, pitch, energy)],
+            stats,
+            ["Synthetized Spectrogram", "Ground-Truth Spectrogram"],
+        )
+        self.train_logger.add_figure(
+            f"Training/step_{step}_{batch['ids'][i]}", fig, step
+        )
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+        if self.vocoder is not None:
+            from ..infer.vocoder import vocoder_infer
+
+            wavs = vocoder_infer(
+                jnp.asarray(np.stack([np.asarray(out.postnet_mel)[i, :mel_len],
+                                      np.asarray(batch["mels"])[i, :mel_len]])),
+                self.vocoder,
+            )
+            sr = self.cfg.preprocess.audio.sampling_rate
+            self.train_logger.add_audio(
+                f"Training/step_{step}_{batch['ids'][i]}_synthesized",
+                wavs[0].astype(np.float32) / 32768.0, step, sr)
+            self.train_logger.add_audio(
+                f"Training/step_{step}_{batch['ids'][i]}_reconstructed",
+                wavs[1].astype(np.float32) / 32768.0, step, sr)
 
     # ------------------------------------------------------------------
     def evaluate(self, step: int) -> List[float]:

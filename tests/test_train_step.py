@@ -129,3 +129,34 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, c in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
     assert restored.step == 1
+
+
+def test_tensor_parallel_equivalence():
+    """tp=2 sharded params produce the same step as unsharded (XLA inserts
+    the collectives; math must not change)."""
+    from masg_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_params
+
+    cfg = tiny_config()
+    cfg.model.transformer.encoder_hidden = 64
+    rng = np.random.default_rng(7)
+    b = make_batch(rng, B=4)
+    model, state = build(cfg, b)
+    step_fn = make_train_step(model)
+    sb = to_step_batch(b)
+    key = jax.random.PRNGKey(2)
+
+    s1, m1 = jax.jit(step_fn)(state, sb, key)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with mesh:
+        state_tp = state.replace(
+            params=shard_params(state.params, mesh),
+            batch_stats=replicate(state.batch_stats, mesh),
+            opt_state=replicate(state.opt_state, mesh),
+        )
+        sb_tp = shard_batch(sb, mesh)
+        s2, m2 = jax.jit(step_fn)(state_tp, sb_tp, key)
+
+    np.testing.assert_allclose(float(m1.total), float(m2.total), rtol=3e-4)
+    for a, c in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-4)
