@@ -1,0 +1,68 @@
+"""Convert a reference torch FastSpeech2 checkpoint into our orbax format.
+
+Usage:
+  python -m masg_tpu.cli.convert_checkpoint -c <config_dir> \
+      --torch_ckpt path/to/20000.pth.tar --step 20000
+
+After conversion the experiment's ckpt_path holds the weights and every CLI
+accepts `--restore_step 20000` against it. Forward parity of the mapping is
+proven in tests/test_torch_parity.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("--torch_ckpt", type=str, required=True)
+    parser.add_argument("--step", type=int, required=True,
+                        help="step label for the converted checkpoint")
+    parser.add_argument("--out", type=str, default=None,
+                        help="ckpt dir (default: the experiment's ckpt_path)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..compat.torch_fs2 import load_torch_checkpoint
+    from ..core.checkpoint import CheckpointManager
+    from ..core.config import load_config_dir
+    from ..models import FastSpeech2
+    from ..train.optim import make_optimizer
+    from ..train.state import create_train_state
+
+    cfg = load_config_dir(args.config)
+    params, batch_stats = load_torch_checkpoint(
+        args.torch_ckpt,
+        encoder_layers=cfg.model.transformer.encoder_layer,
+        decoder_layers=cfg.model.transformer.decoder_layer,
+        multi_speaker=cfg.model.multi_speaker,
+    )
+
+    # build a fresh state to get the optimizer template, then graft weights
+    model = FastSpeech2.from_config(cfg)
+    L = 16
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros(1, jnp.int32), jnp.zeros((1, L), jnp.int32),
+        jnp.asarray([L], jnp.int32), 64,
+        accents=jnp.zeros((1, L), jnp.int32),
+        speaker_meta=jnp.zeros((1, cfg.preprocess.speaker_generation.one_hot_dim)),
+    )
+    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+    state = create_train_state(model, variables, tx)
+    state = state.replace(
+        params=jax.tree.map(jnp.asarray, params),
+        batch_stats=jax.tree.map(jnp.asarray, batch_stats),
+    )
+
+    mgr = CheckpointManager(args.out or cfg.train.path.ckpt_path)
+    mgr.save(args.step, state)
+    print(f"converted {args.torch_ckpt} -> {mgr.ckpt_dir} @ step {args.step}")
+
+
+if __name__ == "__main__":
+    main()
