@@ -55,6 +55,13 @@ class SpeakerChunkDataset:
             lang = self.decode(f)["language"]
             self.lang2files.setdefault(lang, []).append(f)
         self.langs = sorted(self.lang2files)
+        if not self.files:
+            raise FileNotFoundError(
+                f"no chunk archives matching {[d.lower() + '*.npy' for d in datasets]} "
+                f"under {path} — run the GE2E preprocessing first "
+                f"(masg_tpu.preprocessor.ge2e_preprocess; note chunks need "
+                f">= tisv_frame*hop samples of voiced audio per VAD span)"
+            )
         self.data = {f: np.load(os.path.join(path, f)) for f in self.files}
 
     @staticmethod
@@ -248,3 +255,58 @@ def train_speaker_encoder(
     ))
     mgr.wait_until_finished()
     return state
+
+
+def evaluate_eer(
+    embedder: SpeechEmbedder,
+    params,
+    dataset: SpeakerChunkDataset,
+    n_speakers: int = 6,
+    m_utts: int = 10,
+    epochs: int = 10,
+    thresholds=None,
+) -> Tuple[float, float]:
+    """Speaker-verification equal error rate.
+
+    Reference test() (train_speech_embedder.py:387-460): split each speaker's
+    M utterances into enrollment/verification halves, build enrollment
+    centroids, sweep thresholds over the cosine-similarity matrix, report the
+    threshold where FAR == FRR. Returns (avg_EER, threshold).
+    """
+    assert m_utts % 2 == 0
+    if thresholds is None:
+        thresholds = [0.01 * i + 0.5 for i in range(50)]
+
+    apply = jax.jit(
+        lambda p, x: embedder.apply({"params": p}, x, deterministic=True)["embeddings"]
+    )
+
+    total_eer = 0.0
+    best_thresh = 0.0
+    count = 0
+    for _ in range(epochs):
+        mels, _ = dataset.sample_batch(n_speakers, variable_length=False)
+        emb = np.asarray(apply(params, jnp.asarray(mels)))
+        emb = emb.reshape(n_speakers, m_utts, -1)
+        enroll, verify = emb[:, : m_utts // 2], emb[:, m_utts // 2 :]
+        centroids = enroll.mean(axis=1)  # (N, D)
+        centroids /= np.linalg.norm(centroids, axis=-1, keepdims=True) + 1e-12
+        vn = verify / (np.linalg.norm(verify, axis=-1, keepdims=True) + 1e-12)
+        sim = np.einsum("nmd,kd->nmk", vn, centroids)  # (N, M/2, N)
+
+        m_half = m_utts // 2
+        best = (1.0, 0.0, 0.0)
+        for thres in thresholds:
+            hits = sim > thres
+            far = sum(
+                hits[i].sum() - hits[i, :, i].sum() for i in range(n_speakers)
+            ) / ((n_speakers - 1) * m_half * n_speakers)
+            frr = sum(
+                m_half - hits[i, :, i].sum() for i in range(n_speakers)
+            ) / (m_half * n_speakers)
+            if abs(far - frr) < best[0]:
+                best = (abs(far - frr), (far + frr) / 2, thres)
+        total_eer += best[1]
+        best_thresh = best[2]
+        count += 1
+    return total_eer / max(count, 1), best_thresh

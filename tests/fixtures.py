@@ -48,7 +48,7 @@ def synth_utterance(rng, f0_base, n_phones=8):
 
 
 def make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3, seed=0,
-                          dataset="SYNTH", languages=("ja",)):
+                          dataset="SYNTH", languages=("ja",), speaker_prefix="spk"):
     """Create raw_data/<spk>/*.{wav,lab} + preprocessed_data TextGrids +
     accent files + speakers.json. Returns (raw_dir, preprocessed_dir, config)."""
     rng = np.random.default_rng(seed)
@@ -58,7 +58,7 @@ def make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3, seed=0,
 
     speakers = {}
     for s in range(n_speakers):
-        spk = f"spk{s:02d}"
+        spk = f"{speaker_prefix}{s:02d}"
         gender = "M" if s % 2 == 0 else "F"
         lang = languages[s % len(languages)]
         speakers[spk] = [s, gender, lang]

@@ -184,3 +184,51 @@ def test_train_clf_and_ganlike(experiment):
 
     train_main(["-c", cfg_dir, "--max_steps", "2", "--use_clf"])
     gan_main(["-c", cfg_dir, "--max_steps", "2"])
+
+
+def test_multicorpus_gather_and_concat_training(tmp_path):
+    """Two synthetic corpora (ja + en) -> per-corpus preprocess (norm off) ->
+    gather global stats/speakers -> ConcatDataset bilingual training
+    (the JVS-VCTK path, reference preprocess.py:15-16 + gather.py)."""
+    import numpy as np
+    import yaml as _yaml
+
+    from fixtures import make_synthetic_corpus
+    from masg_tpu.cli.gather import main as gather_main
+    from masg_tpu.cli.preprocess import main as preprocess_main
+    from masg_tpu.cli.train import main as train_main
+
+    tmp = str(tmp_path)
+    # two corpora with disjoint speakers/languages
+    _, pre_a, _ = make_synthetic_corpus(tmp, n_speakers=2, utts_per_speaker=5,
+                                        dataset="CORPA", languages=("ja",),
+                                        speaker_prefix="aspk")
+    _, pre_b, _ = make_synthetic_corpus(tmp, n_speakers=2, utts_per_speaker=5,
+                                        dataset="CORPB", seed=9, languages=("en",),
+                                        speaker_prefix="bspk")
+    cfg_dir = make_config_dir(tmp, pre_a, tmp)
+    # replace the SYNTH corpus yaml with the two real ones
+    os.remove(os.path.join(cfg_dir, "preprocess_SYNTH.yaml"))
+    for name, pre in (("CORPA", pre_a), ("CORPB", pre_b)):
+        with open(os.path.join(cfg_dir, f"preprocess_{name}.yaml"), "w") as f:
+            _yaml.dump({
+                "dataset": name,
+                "path": {"raw_path": os.path.join(tmp, "raw_data", name),
+                         "preprocessed_path": pre},
+                "text": {"text_cleaners": [], "language": "ja" if name == "CORPA" else "en"},
+                "accent": {"use_accent": True},
+            }, f)
+
+    preprocess_main(["--config", cfg_dir])  # multi-corpus: per-corpus norm off
+    gather_main(["--config", cfg_dir])
+
+    stats = json.load(open(os.path.join(cfg_dir, "stats.json")))
+    speakers = json.load(open(os.path.join(cfg_dir, "speakers.json")))
+    assert len(speakers) == 4  # 2 + 2 remapped to global ids
+    assert sorted(v[0] for v in speakers.values()) == [0, 1, 2, 3]
+    # unnormalized per-corpus pitches -> global stats have real Hz mean
+    assert stats["pitch"][2] > 50
+
+    train_main(["-c", cfg_dir, "--max_steps", "5", "--corpus", "CORPA", "CORPB"])
+    log = open(os.path.join(tmp, "out/log/train/log.txt")).read()
+    assert "Step 5" in log

@@ -39,3 +39,39 @@ def test_flash_ragged_and_padding():
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(flash_attention(q, k, v, lengths))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fastspeech2_with_flash_matches_xla():
+    """FastSpeech2(use_flash=True) == use_flash=False on identical params."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_fastspeech2 import make_batch, tiny_config
+
+    from masg_tpu.models import FastSpeech2
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(3)
+    b = make_batch(rng)
+    m_ref = FastSpeech2.from_config(cfg, use_flash=False)
+    m_flash = FastSpeech2.from_config(cfg, use_flash=True)
+
+    variables = m_ref.init(
+        jax.random.PRNGKey(0),
+        b["speakers"], b["texts"], b["src_lens"], b["max_mel_len"],
+        mel_lens=b["mel_lens"], p_targets=b["p_targets"], e_targets=b["e_targets"],
+        d_targets=b["d_targets"], accents=b["accents"], speaker_meta=b["speaker_meta"],
+    )
+    kwargs = dict(
+        mel_lens=b["mel_lens"], p_targets=b["p_targets"], e_targets=b["e_targets"],
+        d_targets=b["d_targets"], accents=b["accents"], speaker_meta=b["speaker_meta"],
+    )
+    ref = m_ref.apply(variables, b["speakers"], b["texts"], b["src_lens"],
+                      b["max_mel_len"], **kwargs)
+    with pltpu.force_tpu_interpret_mode():
+        out = m_flash.apply(variables, b["speakers"], b["texts"], b["src_lens"],
+                            b["max_mel_len"], **kwargs)
+    np.testing.assert_allclose(np.asarray(out.mel), np.asarray(ref.mel), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.postnet_mel), np.asarray(ref.postnet_mel), atol=2e-4
+    )

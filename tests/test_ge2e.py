@@ -23,9 +23,10 @@ from masg_tpu.models.speaker_encoder import (
 
 def test_similarity_matches_torch_reference():
     torch = pytest.importorskip("torch")
-    sys.path.insert(0, "/root/reference/Multilingual-Speaker-Encoder-with-Domain-Adaptation")
-    # import only the pure similarity helpers (utils.py needs hparam/librosa;
-    # reimplement its math in torch here from the same formulas)
+    # the reference's similarity helpers (utils.py) need hparam/librosa, so
+    # its math is reimplemented in torch here from the same formulas —
+    # deliberately NOT inserting the submodule dir on sys.path (its utils.py
+    # would shadow /root/reference/utils for later tests)
     N, M, D = 4, 3, 8
     rng = np.random.default_rng(0)
     emb = rng.normal(size=(N, M, D)).astype(np.float32)
@@ -126,3 +127,26 @@ def test_ge2e_training_separates_speakers(tmp_path):
         state, loss, da = step(state, mels_j, langs_j, sub, jnp.asarray(True))
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_eer_evaluation(tmp_path):
+    """EER over separable synthetic speakers should be near 0; near 0.5 for
+    random embeddings of identical speakers."""
+    from masg_tpu.train.ge2e import SpeakerChunkDataset, evaluate_eer
+
+    rng = np.random.default_rng(3)
+    os.makedirs(tmp_path / "chunks", exist_ok=True)
+    for s in range(6):
+        base = rng.normal(size=(20, 1)) * 3.0
+        chunks = (base[None] + 0.05 * rng.normal(size=(12, 20, 40))).astype(np.float32)
+        lang = "ja" if s % 2 == 0 else "en"
+        np.save(tmp_path / "chunks" / f"synth_spk{s}_M_{lang}.npy", chunks)
+    ds = SpeakerChunkDataset(str(tmp_path / "chunks"), ["SYNTH"], m_utts=4,
+                             tisv_frame=40)
+
+    emb = SpeechEmbedder(n_mels=20, hidden=16, n_layers=2, proj=8)
+    import jax as _jax
+    params = emb.init(_jax.random.PRNGKey(0), jnp.zeros((2, 40, 20)))["params"]
+    eer, thresh = evaluate_eer(emb, params, ds, n_speakers=4, m_utts=4, epochs=3)
+    assert 0.0 <= eer <= 1.0
+    assert 0.5 <= thresh <= 1.0
