@@ -1,0 +1,36 @@
+"""Build JVS speakers.json from the corpus's gender_f0range.txt.
+
+Equivalent of the reference's jvs_speaker.py (which hardcodes an absolute
+path; here it's a flag).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--gender_f0range", type=str, required=True,
+                        help="path to jvs .../gender_f0range.txt")
+    parser.add_argument("-o", "--output", type=str, default="speakers.json")
+    args = parser.parse_args(argv)
+
+    speakers = {}
+    with open(args.gender_f0range) as f:
+        lines = f.readlines()
+    for i, line in enumerate(lines[1:]):
+        parts = line.split(" ")
+        if len(parts) < 2:
+            continue
+        spk, gen = parts[0], parts[1]
+        speakers[spk] = [i, gen, "ja"]
+
+    with open(args.output, "w") as f:
+        json.dump(speakers, f)
+    print(f"{len(speakers)} JVS speakers -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()
