@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("-o", "--output", type=str, required=True, help=".npz path")
     args = parser.parse_args(argv)
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..core.config import load_config_dir
     from ..distributions.wasserstein import BarycenterGMM, InterpolateGMM, metadata_corners
     from ..infer.synthesis import load_model

@@ -24,6 +24,10 @@ def main(argv=None):
                         help="ckpt dir (default: the experiment's ckpt_path)")
     args = parser.parse_args(argv)
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -35,6 +35,10 @@ def main(argv=None):
     parser.add_argument("--duration_control", type=float, default=1.0)
     args = parser.parse_args(argv)
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
 
     from ..core.config import load_config_dir

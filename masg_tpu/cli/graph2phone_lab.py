@@ -48,6 +48,10 @@ def main(argv=None):
     parser.add_argument("--speaker", type=str, default=None)
     args = parser.parse_args(argv)
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     with open(os.path.join(args.config, f"preprocess_{args.corpus}.yaml")) as f:
         config = yaml.safe_load(f)
     raw_path = Path(config["path"]["raw_path"])

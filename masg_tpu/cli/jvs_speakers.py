@@ -17,6 +17,10 @@ def main(argv=None):
     parser.add_argument("-o", "--output", type=str, default="speakers.json")
     args = parser.parse_args(argv)
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     speakers = {}
     with open(args.gender_f0range) as f:
         lines = f.readlines()

@@ -40,6 +40,10 @@ def main(argv=None):
     parser.add_argument("--corpus", type=str, nargs="*", default=None)
     args = parser.parse_args(argv)
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..core.config import load_config_dir
     from ..preprocessor.preprocessor import Preprocessor
 

@@ -23,6 +23,10 @@ def main(argv=None):
     parser.add_argument("-o", "--output", type=str, default="generated_speaker.npy")
     args = parser.parse_args(argv)
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
 
     from ..core.config import load_config_dir

@@ -37,6 +37,10 @@ def main(argv=None):
     parser.add_argument("--result_path", type=str, default=None)
     args = parser.parse_args(argv)
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..core.config import load_config_dir
     from ..infer.synthesis import load_model, round_up, save_synth_results, synthesize_batch
     from ..infer.vocoder import get_vocoder

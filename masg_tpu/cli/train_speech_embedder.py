@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..train.ge2e import train_speaker_encoder
 
     train_speaker_encoder(

@@ -1,0 +1,27 @@
+"""Persistent XLA compilation cache.
+
+TPU compiles of the full model take minutes (the HiFi-GAN graph especially);
+enabling jax's persistent cache makes second runs of every CLI start in
+seconds. Called by all CLI entry points; opt out with MASG_NO_COMPILE_CACHE=1
+or redirect with MASG_COMPILE_CACHE_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "masg_tpu_xla")
+
+
+def enable_compilation_cache() -> None:
+    if os.environ.get("MASG_NO_COMPILE_CACHE") == "1":
+        return
+    import jax
+
+    cache_dir = os.environ.get("MASG_COMPILE_CACHE_DIR", DEFAULT_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these knobs

@@ -11,7 +11,7 @@ Reproduces the reference semantics (train.py:271-285, utils/model.py:11-34):
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import orbax.checkpoint as ocp
 

@@ -14,7 +14,7 @@ reference calls remove_weight_norm for inference).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,6 @@ prepare_align_hts.py (HTS full-context variants).
 
 from __future__ import annotations
 
-import os
 import re
 from dataclasses import dataclass
 from pathlib import Path

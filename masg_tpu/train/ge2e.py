@@ -27,7 +27,6 @@ import optax
 from ..models.speaker_encoder import (
     GE2ELossParams,
     SpeechEmbedder,
-    bce_with_logits_sum,
     ge2e_loss,
     init_ge2e_params,
 )

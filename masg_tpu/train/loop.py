@@ -24,11 +24,10 @@ from ..core.config import ExperimentConfig
 from ..data.dataset import ConcatDataset, Dataset
 from ..data.loader import GroupedLoader
 from ..models import FastSpeech2
-from ..models.loss import FS2Losses
 from ..utils.logging import Logger, log_losses
 from .optim import make_optimizer
 from .state import TrainState, create_train_state
-from .step import StepMetrics, make_eval_step, make_train_step
+from .step import make_eval_step, make_train_step
 
 
 def batch_to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:

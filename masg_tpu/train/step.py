@@ -14,15 +14,13 @@ Batches are dicts of static-shape arrays (see data/), so one compilation per
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..models.fastspeech2 import FastSpeech2
-from ..models.loss import FS2Losses, fastspeech2_loss, speaker_prior_log_prob
+from ..models.loss import fastspeech2_loss, speaker_prior_log_prob
 from ..models.speaker_encoder import SpeechEmbedder, bce_with_logits_sum, chunk_mels
 from .state import TrainState
 
