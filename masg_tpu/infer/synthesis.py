@@ -37,12 +37,25 @@ def load_model(
     (reference get_model(train=False), utils/model.py:11-34)."""
     model = FastSpeech2.from_config(cfg, dtype=dtype)
     L, T = 16, 64
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros(1, jnp.int32), jnp.zeros((1, L), jnp.int32),
-        jnp.asarray([L], jnp.int32), T,
+    init_rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    init_kwargs = dict(
         accents=jnp.zeros((1, L), jnp.int32),
         speaker_meta=jnp.zeros((1, cfg.preprocess.speaker_generation.one_hot_dim)),
+    )
+    if cfg.model.jdit.use_jdit:
+        # the teacher branch needs mels (+ the rest of the teacher-forced
+        # inputs) at init so its params exist for checkpoint restore
+        init_kwargs.update(
+            mels=jnp.zeros((1, T, cfg.preprocess.mel.n_mel_channels)),
+            mel_lens=jnp.asarray([T], jnp.int32),
+            p_targets=jnp.zeros((1, L)), e_targets=jnp.zeros((1, L)),
+            d_targets=jnp.full((1, L), T // L, jnp.int32),
+        )
+    variables = model.init(
+        init_rngs,
+        jnp.zeros(1, jnp.int32), jnp.zeros((1, L), jnp.int32),
+        jnp.asarray([L], jnp.int32), T,
+        **init_kwargs,
     )
     if restore_step:
         tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)

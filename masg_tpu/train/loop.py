@@ -203,6 +203,12 @@ class Trainer:
         import matplotlib.pyplot as plt
 
         plt.close(fig)
+        if out.alignments is not None:
+            from ..utils.logging import plot_alignment
+
+            afig = plot_alignment(np.asarray(out.alignments)[i, :mel_len, :src_len].T)
+            self.train_logger.add_figure(f"Training/step_{step}_alignment", afig, step)
+            plt.close(afig)
         if self.vocoder is not None:
             from ..infer.vocoder import vocoder_infer
 
@@ -230,6 +236,7 @@ class Trainer:
         sums = None
         eloss_sum = 0.0
         count = 0
+        last_batch = None
         for group in loader:
             for batch in group:
                 n = len(batch["ids"])
@@ -240,6 +247,7 @@ class Trainer:
                 sums = [s + l * n for s, l in zip(sums, losses)]
                 eloss_sum += float(eloss) * n
                 count += n
+                last_batch = batch
         means = [s / max(count, 1) for s in sums] if sums else []
         if means:
             log_losses(self.val_logger, step, means, eloss=eloss_sum / max(count, 1))
@@ -252,6 +260,12 @@ class Trainer:
             os.makedirs(val_log, exist_ok=True)
             with open(os.path.join(val_log, "log.txt"), "a") as f:
                 f.write(msg + "\n")
+        # one synthesized val sample per evaluation (reference evaluate.py:83-111)
+        if last_batch is not None:
+            try:
+                self.synth_sample(last_batch, step)
+            except Exception as e:
+                print(f"val synth sample failed: {e}")
         return means
 
 
@@ -322,11 +336,14 @@ def build_experiment(
     # init with one real batch's shapes
     probe = train_ds.collate([train_ds[i] for i in range(min(2, len(train_ds)))])[0]
     pb = batch_to_device(probe)
+    init_rngs = {"params": jax.random.PRNGKey(seed),
+                 "dropout": jax.random.PRNGKey(seed + 100)}
     variables = model.init(
-        jax.random.PRNGKey(seed),
+        init_rngs,
         pb["speakers"], pb["texts"], pb["src_lens"], probe["mels"].shape[1],
-        mel_lens=pb["mel_lens"], p_targets=pb["pitches"], e_targets=pb["energies"],
-        d_targets=pb["durations"], accents=pb["accents"], speaker_meta=pb["speaker_meta"],
+        mels=pb["mels"], mel_lens=pb["mel_lens"], p_targets=pb["pitches"],
+        e_targets=pb["energies"], d_targets=pb["durations"], accents=pb["accents"],
+        speaker_meta=pb["speaker_meta"],
     )
     tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
 

@@ -61,7 +61,10 @@ def _forward(model, params, batch_stats, batch, rng, train: bool, speakers=None,
             variables, *args, **kwargs, rngs={"dropout": rng}, mutable=["batch_stats"]
         )
         return out, updates["batch_stats"]
-    out = model.apply(variables, *args, **kwargs)
+    # eval still needs a dropout rng when the JDIT teacher is attached: its
+    # prenet keeps dropout ON even in eval (reference jdit.py:121-132)
+    out = model.apply(variables, *args, **kwargs,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
     return out, batch_stats
 
 

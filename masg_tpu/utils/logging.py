@@ -126,3 +126,20 @@ def plot_mel(data, stats, titles):
             labelbottom=False, left=False, labelleft=False, right=True, labelright=True,
         )
     return fig
+
+
+def plot_alignment(alignment):
+    """JDIT attention heatmap (reference utils/tools.py:389-404):
+    decoder timestep x encoder timestep."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    im = ax.imshow(alignment, aspect="auto", origin="lower", interpolation="none")
+    fig.colorbar(im, ax=ax)
+    plt.xlabel("Decoder timestep")
+    plt.ylabel("Encoder timestep")
+    plt.tight_layout()
+    return fig
