@@ -191,6 +191,54 @@ def compute_da_threshold(n: int, m: int, n_labels: int = 1) -> float:
     return -math.log(1.0 / n_labels) * n * m
 
 
+def make_da_subroutine_step(embedder: SpeechEmbedder):
+    """DA-classifier-only retraining step (embeddings detached): reference
+    da_classifier_subroutine (train_speech_embedder.py:250-290), run each
+    epoch to keep the language head converged."""
+    from ..models.speaker_encoder import bce_with_logits_sum
+
+    tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(1e-3))
+
+    def loss_fn(da_params, main_params, mels, langs):
+        params = {**main_params, **da_params}
+        out = embedder.apply({"params": params}, mels, detach=True,
+                             deterministic=True)
+        return bce_with_logits_sum(out["da_lang_logits"], langs)
+
+    @jax.jit
+    def step(da_params, opt_state, main_params, mels, langs):
+        loss, grads = jax.value_and_grad(loss_fn)(da_params, main_params, mels, langs)
+        upd, opt_state = tx.update(grads, opt_state, da_params)
+        return optax.apply_updates(da_params, upd), opt_state, loss
+
+    return tx, step
+
+
+def run_da_subroutine(embedder, state: GE2ETrainState, dataset, n_speakers: int,
+                      batches: int = 8, max_epochs: int = 10,
+                      verbose: bool = False) -> GE2ETrainState:
+    """Retrain the DA head to convergence (stops when avg loss < 20 or stops
+    improving, like the reference)."""
+    tx, step = make_da_subroutine_step(embedder)
+    p_main, p_da = _split_da(state.embedder_params)
+    opt_state = tx.init(p_da)
+    prev = float("inf")
+    for e in range(max_epochs):
+        avg = 0.0
+        for _ in range(batches):
+            mels, langs = dataset.sample_batch(n_speakers, variable_length=False)
+            p_da, opt_state, loss = step(p_da, opt_state, p_main,
+                                         jnp.asarray(mels), jnp.asarray(langs))
+            avg += float(loss)
+        avg /= batches
+        if verbose:
+            print(f"Da subroutine epoch {e}, avg loss: {avg:.2f}")
+        if avg < 20 or avg > prev:
+            break
+        prev = avg
+    return state._replace(embedder_params={**p_main, **p_da})
+
+
 def train_speaker_encoder(
     data_path: str,
     datasets: List[str],
@@ -242,6 +290,10 @@ def train_speaker_encoder(
         if verbose:
             print(f"Epoch {e+1}: avg ge2e {total/batches_per_epoch:.3f} "
                   f"avg da {total_da/batches_per_epoch:.3f}")
+        if progress > da_startpoint:
+            # reference retrains the DA classifier each epoch (:250-290)
+            state = run_da_subroutine(embedder, state, ds, n_speakers,
+                                      batches=batches_per_epoch)
         if (e + 1) % checkpoint_interval == 0:
             mgr.save(e + 1, args=ocp.args.StandardSave(
                 {"params": state.embedder_params,

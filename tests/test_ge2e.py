@@ -150,3 +150,34 @@ def test_eer_evaluation(tmp_path):
     eer, thresh = evaluate_eer(emb, params, ds, n_speakers=4, m_utts=4, epochs=3)
     assert 0.0 <= eer <= 1.0
     assert 0.5 <= thresh <= 1.0
+
+
+def test_da_subroutine_reduces_da_loss(tmp_path):
+    from masg_tpu.train.ge2e import (SpeakerChunkDataset, make_ge2e_train_step,
+                                     run_da_subroutine)
+    from masg_tpu.models.speaker_encoder import bce_with_logits_sum
+
+    rng = np.random.default_rng(5)
+    os.makedirs(tmp_path / "chunks", exist_ok=True)
+    # language-correlated patterns so the language head CAN learn
+    for s in range(4):
+        lang = "ja" if s % 2 == 0 else "en"
+        base = (1.0 if lang == "ja" else -1.0) + 0.3 * rng.normal(size=(20, 1))
+        chunks = (base[None] + 0.1 * rng.normal(size=(8, 20, 40))).astype(np.float32)
+        np.save(tmp_path / "chunks" / f"synth_spk{s}_M_{lang}.npy", chunks)
+    ds = SpeakerChunkDataset(str(tmp_path / "chunks"), ["SYNTH"], m_utts=4,
+                             tisv_frame=40)
+    embedder = SpeechEmbedder(n_mels=20, hidden=16, n_layers=2, proj=8)
+    init_state, _ = make_ge2e_train_step(embedder, 4, 4)
+    mels, langs = ds.sample_batch(4, variable_length=False)
+    state = init_state(jax.random.PRNGKey(0), mels)
+
+    def da_loss(params):
+        out = embedder.apply({"params": params}, jnp.asarray(mels),
+                             deterministic=True)
+        return float(bce_with_logits_sum(out["da_lang_logits"], jnp.asarray(langs)))
+
+    before = da_loss(state.embedder_params)
+    state = run_da_subroutine(embedder, state, ds, 4, batches=6, max_epochs=4)
+    after = da_loss(state.embedder_params)
+    assert after < before, (before, after)
