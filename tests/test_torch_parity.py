@@ -219,3 +219,94 @@ def test_free_running_parity(ref_fastspeech2):
         np.testing.assert_allclose(
             np.asarray(out.postnet_mel)[:, :T], r_post.numpy(), atol=3e-4
         )
+
+
+@pytest.mark.slow
+def test_full_size_forward_parity(ref_fastspeech2, tmp_path_factory):
+    """Same parity check at the real 35M configuration (4+6 layers, 256
+    hidden, 1024 FFN)."""
+    import importlib
+    import jax.numpy as jnp
+
+    from masg_tpu.compat.torch_fs2 import convert_torch_fastspeech2
+    from masg_tpu.models import FastSpeech2
+
+    fs2_mod = importlib.import_module("refmodel.fastspeech2")
+    tmp = str(tmp_path_factory.mktemp("refcfg_full"))
+    with open(os.path.join(tmp, "speakers.json"), "w") as f:
+        json.dump({f"s{i}": [i, "M", "ja"] for i in range(8)}, f)
+    with open(os.path.join(tmp, "stats.json"), "w") as f:
+        json.dump({"pitch": [-2, 9, 0, 1], "energy": [-1.5, 8, 0, 1]}, f)
+    pre = {
+        "mel": {"n_mel_channels": 80},
+        "pitch": {"feature": "phoneme_level"},
+        "energy": {"feature": "phoneme_level"},
+        "speaker_generation": {"metadata": {"gender": {"M": 0, "F": 1},
+                                            "language": {"ja": 0, "en": 1}}},
+    }
+    mdl = {
+        "transformer": {"encoder_layer": 4, "encoder_head": 2, "encoder_hidden": 256,
+                        "decoder_layer": 6, "decoder_head": 2, "decoder_hidden": 256,
+                        "conv_filter_size": 1024, "conv_kernel_size": [9, 1],
+                        "encoder_dropout": 0.2, "decoder_dropout": 0.2},
+        "variance_predictor": {"filter_size": 256, "kernel_size": 3, "dropout": 0.5},
+        "variance_embedding": {"pitch_quantization": "linear",
+                               "energy_quantization": "linear", "n_bins": 256},
+        "jdit": {"use_jdit": False},
+        "multi_speaker": True,
+        "max_seq_len": 1000,
+        "speaker_generation": {"GMM_mixtures": 3},
+    }
+    torch.manual_seed(1)
+    ref = fs2_mod.FastSpeech2(pre, mdl, tmp)
+    ref.eval()
+
+    rng = np.random.default_rng(4)
+    B, L = 2, 24
+    texts = rng.integers(1, 400, size=(B, L)).astype(np.int64)
+    src_lens = np.array([L, L - 5])
+    texts[1, L - 5:] = 0
+    accents = rng.integers(0, 5, size=(B, L)).astype(np.int64)
+    durations = rng.integers(1, 6, size=(B, L)).astype(np.int64)
+    durations[1, L - 5:] = 0
+    mel_lens = durations.sum(1)
+    T = int(mel_lens.max())
+    mels = rng.normal(size=(B, T, 80)).astype(np.float32)
+    pitches = rng.normal(size=(B, L)).astype(np.float32)
+    energies = rng.normal(size=(B, L)).astype(np.float32)
+    speakers = np.array([0, 7])
+    meta = np.zeros((B, 4), np.float32); meta[:, 1] = 1; meta[:, 3] = 1
+
+    with torch.no_grad():
+        r = ref(torch.from_numpy(speakers), torch.from_numpy(texts),
+                torch.from_numpy(src_lens), L,
+                torch.from_numpy(mels), torch.from_numpy(mel_lens), T,
+                torch.from_numpy(pitches), torch.from_numpy(energies),
+                torch.from_numpy(durations),
+                accents=torch.from_numpy(accents),
+                speaker_meta=torch.from_numpy(meta))
+
+    params, batch_stats = convert_torch_fastspeech2(
+        {k: v.numpy() for k, v in ref.state_dict().items()},
+        encoder_layers=4, decoder_layers=6,
+    )
+    from masg_tpu.core.config import (ExperimentConfig, ModelConfig,
+                                      PreprocessConfig, Stats, TrainConfig)
+
+    cfg = ExperimentConfig(
+        preprocess=PreprocessConfig(), model=ModelConfig(), train=TrainConfig(),
+        stats=Stats(pitch=(-2.0, 9.0, 0.0, 1.0), energy=(-1.5, 8.0, 0.0, 1.0)),
+        speakers={f"s{i}": [i, "M", "ja"] for i in range(8)},
+    )
+    model = FastSpeech2.from_config(cfg)
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(speakers.astype(np.int32)), jnp.asarray(texts.astype(np.int32)),
+        jnp.asarray(src_lens.astype(np.int32)), T,
+        mels=jnp.asarray(mels), mel_lens=jnp.asarray(mel_lens.astype(np.int32)),
+        p_targets=jnp.asarray(pitches), e_targets=jnp.asarray(energies),
+        d_targets=jnp.asarray(durations.astype(np.int32)),
+        accents=jnp.asarray(accents.astype(np.int32)), speaker_meta=jnp.asarray(meta),
+    )
+    np.testing.assert_allclose(np.asarray(out.postnet_mel), r[1].numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.mel), r[0].numpy(), atol=5e-4)
