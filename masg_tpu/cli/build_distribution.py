@@ -17,7 +17,8 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True)
-    parser.add_argument("-r", "--restore_step", type=int, default=0)
+    parser.add_argument("-r", "--restore_step", type=int, default=0,
+                        help="checkpoint step (0 = random prior, smoke tests only)")
     parser.add_argument("--mode", choices=["interpolate", "barycenter"],
                         default="barycenter")
     parser.add_argument("--corner_a", type=str, nargs="*", default=["gender=M", "language=ja"],

@@ -21,7 +21,8 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True)
-    parser.add_argument("-r", "--restore_step", type=int, default=0)
+    parser.add_argument("-r", "--restore_step", type=int, required=True,
+                    help="checkpoint step to load (0 = random init, for smoke tests only; the reference requires a checkpoint)")
     parser.add_argument("--output_path", type=str, required=True)
     parser.add_argument("--text_ja", type=str, default=None)
     parser.add_argument("--text_en", type=str, default=None)
@@ -49,6 +50,8 @@ def main(argv=None):
     from ..text import NO_ACCENT_ID, phone_string_to_sequence, text_to_sequence
 
     cfg = load_config_dir(args.config)
+    if args.restore_step == 0:
+        print("WARNING: --restore_step 0 synthesizes with RANDOM weights")
     model, variables = load_model(cfg, args.restore_step)
     vocoder = None if args.no_vocoder else get_vocoder(cfg.model, cfg.config_dir)
     os.makedirs(args.output_path, exist_ok=True)

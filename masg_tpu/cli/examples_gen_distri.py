@@ -40,7 +40,8 @@ def load_distribution(path: str):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True)
-    parser.add_argument("-r", "--restore_step", type=int, default=0)
+    parser.add_argument("-r", "--restore_step", type=int, required=True,
+                    help="checkpoint step to load (0 = random init, for smoke tests only; the reference requires a checkpoint)")
     parser.add_argument("-d", "--distribution", type=str, required=True,
                         help=".npz (pi/mu/sigma) or reference .pth distribution")
     parser.add_argument("--n_speakers", type=int, default=99)
@@ -66,6 +67,8 @@ def main(argv=None):
     from ..text import NO_ACCENT_ID, phone_string_to_sequence, text_to_sequence
 
     cfg = load_config_dir(args.config)
+    if args.restore_step == 0:
+        print("WARNING: --restore_step 0 synthesizes with RANDOM weights")
     model, variables = load_model(cfg, args.restore_step)
     vocoder = None if args.no_vocoder else get_vocoder(cfg.model, cfg.config_dir)
     gmm = load_distribution(args.distribution)

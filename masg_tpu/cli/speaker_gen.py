@@ -15,7 +15,8 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True)
-    parser.add_argument("-r", "--restore_step", type=int, default=0)
+    parser.add_argument("-r", "--restore_step", type=int, required=True,
+                    help="checkpoint step to load (0 = random init, for smoke tests only; the reference requires a checkpoint)")
     parser.add_argument("--gender", type=str, default="F")
     parser.add_argument("--language", type=str, default=None,
                         help="optional language one-hot (e.g. ja)")
@@ -35,6 +36,8 @@ def main(argv=None):
     from ..ops.gmm import sample as gmm_sample
 
     cfg = load_config_dir(args.config)
+    if args.restore_step == 0:
+        print("WARNING: --restore_step 0 synthesizes with RANDOM weights")
     model, variables = load_model(cfg, args.restore_step)
 
     values = {}

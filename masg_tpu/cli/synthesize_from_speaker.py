@@ -14,7 +14,8 @@ import numpy as np
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("-r", "--restore_step", type=int, default=0)
+    parser.add_argument("-r", "--restore_step", type=int, required=True,
+                    help="checkpoint step to load (0 = random init, for smoke tests only; the reference requires a checkpoint)")
     parser.add_argument("-t", "--text", type=str, default=None)
     parser.add_argument("--phones", type=str, default=None)
     parser.add_argument("--accents", type=str, default=None)
@@ -44,6 +45,8 @@ def main(argv=None):
     from ..text import ACCENT_TO_ID, NO_ACCENT_ID, phone_string_to_sequence, text_to_sequence
 
     cfg = load_config_dir(args.config)
+    if args.restore_step == 0:
+        print("WARNING: --restore_step 0 synthesizes with RANDOM weights")
     model, variables = load_model(cfg, args.restore_step)
     emb = np.load(args.speaker_emb)
     if emb.ndim == 1:

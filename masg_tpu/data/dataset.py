@@ -71,6 +71,9 @@ class Dataset:
         self.speaker_meta_schema: Dict[str, Dict[str, int]] = preprocess_config[
             "preprocessing"
         ]["speaker_generation"]["metadata"]
+        pp = preprocess_config["preprocessing"]
+        self.pitch_feature_level = pp.get("pitch", {}).get("feature", "phoneme_level")
+        self.energy_feature_level = pp.get("energy", {}).get("feature", "phoneme_level")
         self.sort = sort
         self.drop_last = drop_last
         self.text_bucket = text_bucket
@@ -159,16 +162,24 @@ class Dataset:
         if self.mel_bucket:
             mel_pad = round_up_bucket(int(mel_lens.max()), self.mel_bucket)
 
+        # frame_level pitch/energy targets are per-FRAME arrays and must pad
+        # with the mels, not the texts (the frame-level VarianceAdaptor branch
+        # adds their embeddings to the expanded sequence)
+        mels_padded = pad_2d(mels, mel_pad).astype(np.float32)
+        frame_pad = mels_padded.shape[1]
+        pitch_pad = text_pad if self.pitch_feature_level == "phoneme_level" else frame_pad
+        energy_pad = text_pad if self.energy_feature_level == "phoneme_level" else frame_pad
+
         batch = {
             "ids": [data[i]["id"] for i in idxs],
             "raw_texts": [data[i]["raw_text"] for i in idxs],
             "speakers": np.array([data[i]["speaker"] for i in idxs], dtype=np.int32),
             "texts": pad_1d(texts, text_pad).astype(np.int32),
             "src_lens": text_lens.astype(np.int32),
-            "mels": pad_2d(mels, mel_pad).astype(np.float32),
+            "mels": mels_padded,
             "mel_lens": mel_lens.astype(np.int32),
-            "pitches": pad_1d([data[i]["pitch"] for i in idxs], text_pad).astype(np.float32),
-            "energies": pad_1d([data[i]["energy"] for i in idxs], text_pad).astype(np.float32),
+            "pitches": pad_1d([data[i]["pitch"] for i in idxs], pitch_pad).astype(np.float32),
+            "energies": pad_1d([data[i]["energy"] for i in idxs], energy_pad).astype(np.float32),
             "durations": pad_1d([data[i]["duration"] for i in idxs], text_pad).astype(np.int32),
             "speaker_meta": np.stack(
                 [self._one_hot_meta(data[i]["speaker_meta"]) for i in idxs]

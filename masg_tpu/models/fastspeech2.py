@@ -109,6 +109,15 @@ class FastSpeech2(nn.Module):
     def from_config(cfg: ExperimentConfig, dtype=jnp.float32, use_flash: bool = False
                     ) -> "FastSpeech2":
         m, p = cfg.model, cfg.preprocess
+        if m.multi_speaker and cfg.speakers is None:
+            # the reference fails loudly on a missing speakers.json
+            # (fastspeech2.py:39-45); a silent 1-row table would clamp every
+            # speaker id to the same embedding
+            raise FileNotFoundError(
+                f"multi_speaker model but no speakers.json in "
+                f"{cfg.config_dir or '<config>'} — run preprocessing/gather "
+                f"first or set multi_speaker: False"
+            )
         stats = cfg.stats
         if stats is None:
             from ..core.config import Stats

@@ -126,8 +126,12 @@ def flash_attention(
 
     Returns (B, H, T, Dh), zero rows for fully-masked queries.
     """
+    import math as _math
+
     b, h, t, dh = q.shape
-    t_pad = max(block_q, block_k) * -(-t // max(block_q, block_k))
+    # pad T to a multiple of BOTH block sizes so no key block is dropped
+    block_lcm = _math.lcm(block_q, block_k)
+    t_pad = block_lcm * -(-t // block_lcm)
 
     def pad_t(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))

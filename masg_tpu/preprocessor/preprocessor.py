@@ -160,7 +160,8 @@ class Preprocessor:
             write_split("val.txt", train_frac, 1 - self.test_size)
             write_split("test.txt", 1 - self.test_size, None)
         else:
-            write_split("val.txt", 0.0, None)
+            # no validation fraction: empty splits (reference spk[len:] slices)
+            write_split("val.txt", 1.0, None)
             write_split("test.txt", 1.0, None)
         return out
 

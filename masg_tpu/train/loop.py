@@ -185,8 +185,16 @@ class Trainer:
         mel_pred = np.asarray(out.postnet_mel)[i, :mel_len].T
         mel_gt = np.asarray(batch["mels"])[i, :mel_len].T
         duration = np.asarray(batch["durations"])[i, :src_len]
-        pitch = np.repeat(np.asarray(batch["pitches"])[i, :src_len], duration)[:mel_len]
-        energy = np.repeat(np.asarray(batch["energies"])[i, :src_len], duration)[:mel_len]
+        # phoneme-level targets expand by duration; frame-level are already
+        # per-frame (reference utils/tools.py:181-190)
+        if self.cfg.preprocess.pitch.feature == "phoneme_level":
+            pitch = np.repeat(np.asarray(batch["pitches"])[i, :src_len], duration)[:mel_len]
+        else:
+            pitch = np.asarray(batch["pitches"])[i, :mel_len]
+        if self.cfg.preprocess.energy.feature == "phoneme_level":
+            energy = np.repeat(np.asarray(batch["energies"])[i, :src_len], duration)[:mel_len]
+        else:
+            energy = np.asarray(batch["energies"])[i, :mel_len]
         stats = (
             list(self.cfg.stats.pitch) + list(self.cfg.stats.energy[:2])
             if self.cfg.stats is not None
@@ -333,8 +341,12 @@ def build_experiment(
 
     model = FastSpeech2.from_config(cfg, dtype=dtype)
 
-    # init with one real batch's shapes
-    probe = train_ds.collate([train_ds[i] for i in range(min(2, len(train_ds)))])[0]
+    # init with one real batch's shapes (reprocess directly: collate would
+    # drop a sub-batch_size probe when drop_last is set)
+    n_probe = min(2, len(train_ds))
+    probe_items = [train_ds[i] for i in range(n_probe)]
+    proto = train_ds._proto if isinstance(train_ds, ConcatDataset) else train_ds
+    probe = proto.reprocess(probe_items, list(range(n_probe)))
     pb = batch_to_device(probe)
     init_rngs = {"params": jax.random.PRNGKey(seed),
                  "dropout": jax.random.PRNGKey(seed + 100)}

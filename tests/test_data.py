@@ -103,3 +103,27 @@ def test_reference_tuple_layout(corpus):
         pitches, energies, durations, speaker_meta, accents = tup
     assert max_tl == texts.shape[1]
     assert mels.shape[2] == 80
+
+
+def test_frame_level_targets_pad_with_mels(corpus):
+    """frame_level pitch/energy arrays must share the mel padding (review
+    regression: they padded to the text bucket and broke the frame-level
+    VarianceAdaptor branch)."""
+    raw, pre, config = corpus
+    import copy
+
+    cfg = copy.deepcopy(config)
+    cfg["preprocessing"]["pitch"]["feature"] = "frame_level"
+    cfg["preprocessing"]["energy"]["feature"] = "frame_level"
+    # reuse phoneme-level .npy files: only the padding rule is under test,
+    # so fabricate frame-length targets
+    ds = Dataset("train.txt", cfg, batch_size=2, text_bucket=16, mel_bucket=64)
+    items = [ds[i] for i in range(2)]
+    for it in items:
+        T = it["mel"].shape[0]
+        it["pitch"] = np.zeros(T, np.float32)
+        it["energy"] = np.zeros(T, np.float32)
+    b = ds.reprocess(items, [0, 1])
+    assert b["pitches"].shape[1] == b["mels"].shape[1]
+    assert b["energies"].shape[1] == b["mels"].shape[1]
+    assert b["durations"].shape == b["texts"].shape

@@ -153,7 +153,7 @@ def test_generation_clis(experiment):
     from masg_tpu.cli.examples_gen_distri import main as egd_main
 
     out1 = os.path.join(tmp, "examples")
-    eg_main(["-c", cfg_dir, "--output_path", out1, "--no_vocoder",
+    eg_main(["-c", cfg_dir, "-r", "0", "--output_path", out1, "--no_vocoder",
              "--max_real_speakers", "1"])
     npys = [f for f in os.listdir(out1) if f.endswith(".npy")]
     # 1 real speaker + 4 corners x n_new(=1 speaker at 2 speakers total... >=4)
@@ -171,7 +171,7 @@ def test_generation_clis(experiment):
     assert z2["pi"].shape[-1] == 9  # 3x3 component product
 
     out2 = os.path.join(tmp, "distri_examples")
-    egd_main(["-c", cfg_dir, "-d", dist_path, "--n_speakers", "3",
+    egd_main(["-c", cfg_dir, "-r", "0", "-d", dist_path, "--n_speakers", "3",
               "--output_path", out2, "--no_vocoder"])
     assert len([f for f in os.listdir(out2) if f.endswith(".npy")]) == 3
 

@@ -34,10 +34,16 @@ def test_loads_and_builds(cfg_dir):
     cfg = load_config_dir(cfg_dir)
     assert cfg.model.transformer.encoder_hidden == 256
     assert cfg.model.max_seq_len == 1000
+    if cfg.speakers is None:
+        # base dirs (JSUT/JVS/JVS-VCTK) ship no speakers.json — the user must
+        # run gather/preprocess first; both the reference (fastspeech2.py:39-45
+        # open()) and we fail loudly here
+        with pytest.raises(FileNotFoundError):
+            FastSpeech2.from_config(cfg)
+        return
     model = FastSpeech2.from_config(cfg)  # bins derive from stats (or defaults)
     assert model.n_bins == 256
-    if cfg.speakers is not None:
-        assert model.n_speakers == len(cfg.speakers)
+    assert model.n_speakers == len(cfg.speakers)
     # langemb (non-ganlike, non-woge2e) dirs carry the pretrained GE2E ckpt;
     # ganlike trains the discriminator jointly and ships no path
     if "langemb_configs" in cfg_dir and "_woge2e" not in cfg_dir:

@@ -160,3 +160,30 @@ def test_tensor_parallel_equivalence():
     np.testing.assert_allclose(float(m1.total), float(m2.total), rtol=3e-4)
     for a, c in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-4)
+
+
+def test_build_experiment_probe_survives_large_batch(tmp_path):
+    """Review regression: the init probe crashed with IndexError for any
+    batch_size > 2 (collate dropped the 2-item probe)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures import make_synthetic_corpus
+    from test_e2e import make_config_dir
+
+    from masg_tpu.cli.preprocess import main as pp_main
+    from masg_tpu.core.config import load_config_dir
+    from masg_tpu.train.loop import build_experiment
+
+    tmp = str(tmp_path)
+    raw, pre, _ = make_synthetic_corpus(tmp, n_speakers=2, utts_per_speaker=4)
+    cfg_dir = make_config_dir(tmp, pre, tmp)
+    pp_main(["--config", cfg_dir])
+    import shutil, os
+
+    shutil.copy(os.path.join(pre, "stats.json"), os.path.join(cfg_dir, "stats.json"))
+    shutil.copy(os.path.join(pre, "speakers.json"), os.path.join(cfg_dir, "speakers.json"))
+    cfg = load_config_dir(cfg_dir)
+    cfg.train.optimizer.batch_size = 16  # larger than the dataset slice
+    trainer = build_experiment(cfg)
+    assert trainer.state is not None
