@@ -48,10 +48,42 @@ def write_wav(path: str, audio: np.ndarray, sr: int) -> None:
 
 
 def resample_linear(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Lightweight polyphase-free resampler (offline path only)."""
+    """Lightweight linear-interp resampler (tests/smoke paths only)."""
     if sr_in == sr_out:
         return audio
     n_out = int(round(len(audio) * sr_out / sr_in))
     x_old = np.arange(len(audio)) / sr_in
     x_new = np.arange(n_out) / sr_out
     return np.interp(x_new, x_old, audio).astype(audio.dtype)
+
+
+def resample_kaiser(
+    audio: np.ndarray, sr_in: int, sr_out: int,
+    num_zeros: int = 32, beta: float = 8.6,
+) -> np.ndarray:
+    """Windowed-sinc (Kaiser) polyphase resampler.
+
+    Replaces librosa's high-quality resample for the offline corpus path
+    (e.g. VCTK 48 kHz -> 22.05 kHz; the reference relies on
+    librosa.load(sr=22050), preprocessor.py:186). Anti-aliased: the sinc cuts
+    off at min(sr_in, sr_out)/2; the polyphase filtering runs through scipy's
+    C implementation.
+    """
+    if sr_in == sr_out:
+        return np.asarray(audio, dtype=np.float32)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(int(sr_in), int(sr_out))
+    up, down = sr_out // g, sr_in // g
+
+    # prototype low-pass at the tighter Nyquist on the upsampled grid
+    f_c = min(sr_in, sr_out) / 2.0 / (sr_in * up)
+    half_len = int(np.ceil(num_zeros / (2.0 * f_c)))
+    n = np.arange(-half_len, half_len + 1)
+    h = 2 * f_c * np.sinc(2 * f_c * n) * np.kaiser(len(n), beta)
+    h = h / h.sum()
+
+    y = resample_poly(np.asarray(audio, dtype=np.float64), up, down, window=h * up)
+    return y.astype(np.float32)

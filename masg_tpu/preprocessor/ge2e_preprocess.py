@@ -16,7 +16,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from ..audio.stft import mel_filterbank, stft_magnitude
-from ..audio.wavio import read_wav, resample_linear
+from ..audio.wavio import read_wav, resample_kaiser
 
 
 def energy_split(
@@ -79,7 +79,7 @@ def chunk_speaker_wavs(
     for p in wav_paths:
         wav, fsr = read_wav(p)
         if fsr != sr:
-            wav = resample_linear(wav, fsr, sr)
+            wav = resample_kaiser(wav, fsr, sr)
         for s, e in energy_split(wav):
             seg = wav[s:e]
             if len(seg) < min_samples:

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..audio.f0 import extract_f0
 from ..audio.stft import mel_spectrogram_and_energy
-from ..audio.wavio import read_wav, resample_linear
+from ..audio.wavio import read_wav, resample_kaiser
 from .textgrid import read_textgrid
 
 SIL_PHONES = ["sil", "sp", "spn", "silB", "silE", ""]
@@ -183,7 +183,8 @@ class Preprocessor:
 
         wav, sr = read_wav(wav_path)
         if sr != self.sampling_rate:
-            wav = resample_linear(wav, sr, self.sampling_rate)
+            # anti-aliased Kaiser polyphase (librosa.load-equivalent quality)
+            wav = resample_kaiser(wav, sr, self.sampling_rate)
         wav = wav[
             int(self.sampling_rate * start) : int(self.sampling_rate * end)
         ].astype(np.float32)

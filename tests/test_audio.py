@@ -94,3 +94,30 @@ def test_batched_pipeline():
     assert energy.shape == (3, logmel.shape[2])
     one, e_one = mel_spectrogram_and_energy(a[1])
     np.testing.assert_allclose(np.asarray(logmel[1]), np.asarray(one), atol=1e-5)
+
+
+def test_kaiser_resampler_antialiases():
+    """48k -> 22.05k (the VCTK path): a tone below the target Nyquist passes
+    cleanly; a tone above it is suppressed (linear interp aliases it back)."""
+    from masg_tpu.audio.wavio import resample_kaiser, resample_linear
+
+    sr_in, sr_out = 48000, 22050
+    t = np.arange(sr_in) / sr_in
+
+    # passband tone
+    tone = np.sin(2 * np.pi * 3000 * t).astype(np.float32)
+    out = resample_kaiser(tone, sr_in, sr_out)
+    assert abs(len(out) - sr_out) <= 2
+    tt = np.arange(len(out)) / sr_out
+    ref = np.sin(2 * np.pi * 3000 * tt)
+    # ignore filter edges
+    e = 2000
+    corr = np.corrcoef(out[e:-e], ref[e:-e])[0, 1]
+    assert corr > 0.999, corr
+
+    # stopband tone (15 kHz > 11.025 kHz Nyquist) must be attenuated
+    hiss = np.sin(2 * np.pi * 15000 * t).astype(np.float32)
+    out_hiss = resample_kaiser(hiss, sr_in, sr_out)
+    out_lin = resample_linear(hiss, sr_in, sr_out)
+    assert np.sqrt(np.mean(out_hiss[e:-e] ** 2)) < 0.01      # killed by the filter
+    assert np.sqrt(np.mean(out_lin[e:-e] ** 2)) > 0.1        # aliased by interp
