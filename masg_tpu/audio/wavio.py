@@ -85,5 +85,7 @@ def resample_kaiser(
     h = 2 * f_c * np.sinc(2 * f_c * n) * np.kaiser(len(n), beta)
     h = h / h.sum()
 
-    y = resample_poly(np.asarray(audio, dtype=np.float64), up, down, window=h * up)
+    # NOTE: scipy's resample_poly multiplies an array-valued window by `up`
+    # itself; passing h*up would double-apply the gain (x147 for 48k->22.05k)
+    y = resample_poly(np.asarray(audio, dtype=np.float64), up, down, window=h)
     return y.astype(np.float32)

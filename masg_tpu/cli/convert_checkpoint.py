@@ -46,16 +46,25 @@ def main(argv=None):
         multi_speaker=cfg.model.multi_speaker,
     )
 
-    # build a fresh state to get the optimizer template, then graft weights
-    model = FastSpeech2.from_config(cfg)
-    L = 16
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros(1, jnp.int32), jnp.zeros((1, L), jnp.int32),
-        jnp.asarray([L], jnp.int32), 64,
-        accents=jnp.zeros((1, L), jnp.int32),
-        speaker_meta=jnp.zeros((1, cfg.preprocess.speaker_generation.one_hot_dim)),
-    )
+    # build a fresh state via load_model (handles the jdit/frame-level init
+    # branches), then graft the converted weights with a structure check
+    from ..infer.synthesis import load_model
+
+    model, variables = load_model(cfg, restore_step=0)
+    import flax
+
+    init_params = flax.core.unfreeze(variables["params"])
+    if jax.tree_util.tree_structure(init_params) != jax.tree_util.tree_structure(params):
+        init_keys = set(init_params)
+        conv_keys = set(params)
+        raise ValueError(
+            "converted param tree does not match this config's model: "
+            f"missing={sorted(init_keys - conv_keys)} "
+            f"extra={sorted(conv_keys - init_keys)} — check the config's "
+            "encoder/decoder layer counts and jdit/multi_speaker settings "
+            "(jdit teacher weights cannot be converted from the reference's "
+            "FastSpeech2-only checkpoints)"
+        )
     tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
     state = create_train_state(model, variables, tx)
     state = state.replace(

@@ -68,10 +68,6 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     args = parser.parse_args(argv)
-
-    from ..core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
     gather(args.config)
 
 

@@ -32,11 +32,13 @@ def graphemes_to_phone_lab(text: str, lang: str) -> list:
     p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     res2 = ["sil"]
     for line in iter(p.stdout.readline, b""):
-        res2.extend(
-            re.split(" +", line.decode("utf8").strip().replace("ˌ", "").replace("ˈ", ""))
-        )
+        # strip commas (reference graph2phone_lab.py:46) and both stress marks
+        cleaned = (line.decode("utf8").strip()
+                   .replace(",", "").replace("ˌ", "").replace("ˈ", ""))
+        res2.extend(re.split(" +", cleaned))
         res2.append("pau")
     p.stdout.close()
+    p.wait()
     res2 = res2[:-3] + ["sil"]
     return [r for r in res2 if r != "_:"]
 
@@ -47,10 +49,6 @@ def main(argv=None):
     parser.add_argument("--corpus", type=str, required=True)
     parser.add_argument("--speaker", type=str, default=None)
     args = parser.parse_args(argv)
-
-    from ..core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     with open(os.path.join(args.config, f"preprocess_{args.corpus}.yaml")) as f:
         config = yaml.safe_load(f)

@@ -17,19 +17,19 @@ def main(argv=None):
     parser.add_argument("-o", "--output", type=str, default="speakers.json")
     args = parser.parse_args(argv)
 
-    from ..core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     speakers = {}
     with open(args.gender_f0range) as f:
         lines = f.readlines()
-    for i, line in enumerate(lines[1:]):
+    # ids from a counter over ACCEPTED lines only: a skipped malformed line
+    # must not leave a gap (ids index the nn.Embed table)
+    idx = 0
+    for line in lines[1:]:
         parts = line.split(" ")
         if len(parts) < 2:
             continue
         spk, gen = parts[0], parts[1]
-        speakers[spk] = [i, gen, "ja"]
+        speakers[spk] = [idx, gen, "ja"]
+        idx += 1
 
     with open(args.output, "w") as f:
         json.dump(speakers, f)

@@ -124,10 +124,6 @@ def main(argv=None):
     parser.add_argument("--total_step", type=int, default=None)
     args = parser.parse_args(argv)
 
-    from ..core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     p = PRESETS[args.preset]
     os.makedirs(args.output, exist_ok=True)
     name = os.path.basename(os.path.normpath(args.output))

@@ -21,10 +21,6 @@ def main(argv=None):
                              "HTS full-context 100ns labels")
     args = parser.parse_args(argv)
 
-    from ..core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     from ..preprocessor.alignments import prepare_alignments
 
     n = prepare_alignments(

@@ -129,10 +129,6 @@ def main(argv=None):
                         choices=sorted(RETRIEVERS))
     args = parser.parse_args(argv)
 
-    from ..core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     yaml_name, fn = RETRIEVERS[args.corpus.lower()]
     with open(os.path.join(args.config, yaml_name)) as f:
         config = yaml.safe_load(f)

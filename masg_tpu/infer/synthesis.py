@@ -44,11 +44,14 @@ def load_model(
     )
     if cfg.model.jdit.use_jdit:
         # the teacher branch needs mels (+ the rest of the teacher-forced
-        # inputs) at init so its params exist for checkpoint restore
+        # inputs) at init so its params exist for checkpoint restore;
+        # pitch/energy target lengths follow their feature level
+        p_len = L if cfg.preprocess.pitch.feature == "phoneme_level" else T
+        e_len = L if cfg.preprocess.energy.feature == "phoneme_level" else T
         init_kwargs.update(
             mels=jnp.zeros((1, T, cfg.preprocess.mel.n_mel_channels)),
             mel_lens=jnp.asarray([T], jnp.int32),
-            p_targets=jnp.zeros((1, L)), e_targets=jnp.zeros((1, L)),
+            p_targets=jnp.zeros((1, p_len)), e_targets=jnp.zeros((1, e_len)),
             d_targets=jnp.full((1, L), T // L, jnp.int32),
         )
     variables = model.init(

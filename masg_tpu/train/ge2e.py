@@ -214,12 +214,19 @@ def make_da_subroutine_step(embedder: SpeechEmbedder):
     return tx, step
 
 
+_DA_STEP_CACHE: dict = {}
+
+
 def run_da_subroutine(embedder, state: GE2ETrainState, dataset, n_speakers: int,
                       batches: int = 8, max_epochs: int = 10,
                       verbose: bool = False) -> GE2ETrainState:
     """Retrain the DA head to convergence (stops when avg loss < 20 or stops
-    improving, like the reference)."""
-    tx, step = make_da_subroutine_step(embedder)
+    improving, like the reference). The jitted step is cached per embedder so
+    per-epoch calls don't retrace."""
+    key = id(embedder)
+    if key not in _DA_STEP_CACHE:
+        _DA_STEP_CACHE[key] = make_da_subroutine_step(embedder)
+    tx, step = _DA_STEP_CACHE[key]
     p_main, p_da = _split_da(state.embedder_params)
     opt_state = tx.init(p_da)
     prev = float("inf")
@@ -333,7 +340,7 @@ def evaluate_eer(
     )
 
     total_eer = 0.0
-    best_thresh = 0.0
+    best_thresh = 0.0  # averaged over epochs alongside the EER
     count = 0
     for _ in range(epochs):
         mels, _ = dataset.sample_batch(n_speakers, variable_length=False)
@@ -346,7 +353,7 @@ def evaluate_eer(
         sim = np.einsum("nmd,kd->nmk", vn, centroids)  # (N, M/2, N)
 
         m_half = m_utts // 2
-        best = (1.0, 0.0, 0.0)
+        best = None
         for thres in thresholds:
             hits = sim > thres
             far = sum(
@@ -355,9 +362,9 @@ def evaluate_eer(
             frr = sum(
                 m_half - hits[i, :, i].sum() for i in range(n_speakers)
             ) / (m_half * n_speakers)
-            if abs(far - frr) < best[0]:
+            if best is None or abs(far - frr) < best[0]:
                 best = (abs(far - frr), (far + frr) / 2, thres)
         total_eer += best[1]
-        best_thresh = best[2]
+        best_thresh += best[2]
         count += 1
-    return total_eer / max(count, 1), best_thresh
+    return total_eer / max(count, 1), best_thresh / max(count, 1)

@@ -169,13 +169,15 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------------
-    def synth_sample(self, batch: Dict[str, np.ndarray], step: int) -> None:
+    def synth_sample(self, batch: Dict[str, np.ndarray], step: int,
+                     logger=None, tag_prefix: str = "Training") -> None:
         """Reference synth_step hook (train.py:225-260 + utils/tools.py
         synth_one_sample): render prediction-vs-GT mel figures with
         pitch/energy overlays for the first batch item; vocode both when a
         vocoder is attached."""
-        from ..utils.logging import log_losses, plot_mel
+        from ..utils.logging import plot_mel
 
+        logger = logger or self.train_logger
         losses, eloss, out = self.eval_step_fn(self.state, batch_to_device(batch))
         i = 0
         mel_len = int(np.asarray(out.mel_len)[i])
@@ -205,8 +207,8 @@ class Trainer:
             stats,
             ["Synthetized Spectrogram", "Ground-Truth Spectrogram"],
         )
-        self.train_logger.add_figure(
-            f"Training/step_{step}_{batch['ids'][i]}", fig, step
+        logger.add_figure(
+            f"{tag_prefix}/step_{step}_{batch['ids'][i]}", fig, step
         )
         import matplotlib.pyplot as plt
 
@@ -215,7 +217,7 @@ class Trainer:
             from ..utils.logging import plot_alignment
 
             afig = plot_alignment(np.asarray(out.alignments)[i, :mel_len, :src_len].T)
-            self.train_logger.add_figure(f"Training/step_{step}_alignment", afig, step)
+            logger.add_figure(f"{tag_prefix}/step_{step}_alignment", afig, step)
             plt.close(afig)
         if self.vocoder is not None:
             from ..infer.vocoder import vocoder_infer
@@ -226,11 +228,11 @@ class Trainer:
                 self.vocoder,
             )
             sr = self.cfg.preprocess.audio.sampling_rate
-            self.train_logger.add_audio(
-                f"Training/step_{step}_{batch['ids'][i]}_synthesized",
+            logger.add_audio(
+                f"{tag_prefix}/step_{step}_{batch['ids'][i]}_synthesized",
                 wavs[0].astype(np.float32) / 32768.0, step, sr)
-            self.train_logger.add_audio(
-                f"Training/step_{step}_{batch['ids'][i]}_reconstructed",
+            logger.add_audio(
+                f"{tag_prefix}/step_{step}_{batch['ids'][i]}_reconstructed",
                 wavs[1].astype(np.float32) / 32768.0, step, sr)
 
     # ------------------------------------------------------------------
@@ -271,7 +273,8 @@ class Trainer:
         # one synthesized val sample per evaluation (reference evaluate.py:83-111)
         if last_batch is not None:
             try:
-                self.synth_sample(last_batch, step)
+                self.synth_sample(last_batch, step, logger=self.val_logger,
+                                  tag_prefix="Validation")
             except Exception as e:
                 print(f"val synth sample failed: {e}")
         return means

@@ -114,6 +114,9 @@ def test_kaiser_resampler_antialiases():
     e = 2000
     corr = np.corrcoef(out[e:-e], ref[e:-e])[0, 1]
     assert corr > 0.999, corr
+    # amplitude must be preserved (regression: double-applied polyphase gain
+    # scaled output by `up`=147)
+    assert 0.95 < np.abs(out[e:-e]).max() < 1.05, np.abs(out).max()
 
     # stopband tone (15 kHz > 11.025 kHz Nyquist) must be attenuated
     hiss = np.sin(2 * np.pi * 15000 * t).astype(np.float32)
