@@ -26,6 +26,12 @@ def main(argv=None):
                         help="stop after N steps this invocation (smoke runs)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="cap the device mesh to the first N devices (default all)")
+    parser.add_argument("--n_model", type=int, default=1,
+                        help="tensor-parallel axis size of the (data, model) mesh")
+    parser.add_argument("--flash", action="store_true",
+                        help="Pallas flash attention in the FFT blocks (TPU only)")
     args = parser.parse_args(argv)
 
     from ..core.cache import enable_compilation_cache
@@ -44,7 +50,11 @@ def main(argv=None):
         checkpoint=args.checkpoint,
         seed=args.seed,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        n_devices=args.n_devices,
+        n_model=args.n_model,
+        use_flash=args.flash,
     )
+    print(f"mesh: {dict(trainer.mesh.shape)}")
     n_params = sum(
         x.size for x in __import__("jax").tree.leaves(trainer.state.params)
     )

@@ -21,6 +21,9 @@ def main(argv=None):
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--n_model", type=int, default=1)
+    parser.add_argument("--flash", action="store_true")
     args = parser.parse_args(argv)
 
     from ..core.cache import enable_compilation_cache
@@ -39,6 +42,9 @@ def main(argv=None):
         checkpoint=args.checkpoint,
         seed=args.seed,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        n_devices=args.n_devices,
+        n_model=args.n_model,
+        use_flash=args.flash,
     )
     n_params = sum(
         x.size for x in __import__("jax").tree.leaves(trainer.state.params)

@@ -1,0 +1,197 @@
+"""Synthetic corpus + experiment-config generators.
+
+A few seconds of generated voiced audio with TextGrid alignments and accent
+files — enough to drive preprocess -> dataset -> train -> synthesize
+end-to-end without any real corpus. Used by the test suite and by the
+multichip dryrun (`__graft_entry__.dryrun_multichip`), which builds a real
+experiment through `train.loop.build_experiment` on a virtual device mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..audio.wavio import write_wav
+from ..preprocessor.textgrid import Interval, TextGrid, Tier, write_textgrid
+
+SR = 22050
+
+# tiny phone inventory drawn from the real symbol table
+PHONES = ["a", "i", "u", "e", "o", "k", "s", "t", "n", "m"]
+
+
+def synth_utterance(rng, f0_base, n_phones=8):
+    """Voiced tone with per-phone F0/amplitude steps + silence padding."""
+    phones, intervals = [], []
+    t = 0.15  # leading silence
+    segs = [np.zeros(int(t * SR))]
+    intervals.append(Interval(0.0, t, "sil"))
+    for i in range(n_phones):
+        p = PHONES[rng.integers(0, len(PHONES))]
+        dur = float(rng.uniform(0.06, 0.18))
+        f0 = f0_base * float(rng.uniform(0.9, 1.15))
+        n = int(dur * SR)
+        tt = np.arange(n) / SR
+        amp = 0.4 * float(rng.uniform(0.6, 1.0))
+        seg = amp * (
+            np.sin(2 * np.pi * f0 * tt)
+            + 0.4 * np.sin(4 * np.pi * f0 * tt)
+            + 0.15 * np.sin(6 * np.pi * f0 * tt)
+        )
+        # fade edges to avoid clicks
+        fade = min(128, n // 4)
+        seg[:fade] *= np.linspace(0, 1, fade)
+        seg[-fade:] *= np.linspace(1, 0, fade)
+        segs.append(seg)
+        phones.append(p)
+        intervals.append(Interval(t, t + dur, p))
+        t += dur
+    tail = 0.12
+    segs.append(np.zeros(int(tail * SR)))
+    intervals.append(Interval(t, t + tail, "sil"))
+    wav = np.concatenate(segs).astype(np.float32)
+    return wav, phones, intervals, t + tail
+
+
+def make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3, seed=0,
+                          dataset="SYNTH", languages=("ja",), speaker_prefix="spk"):
+    """Create raw_data/<spk>/*.{wav,lab} + preprocessed_data TextGrids +
+    accent files + speakers.json. Returns (raw_dir, preprocessed_dir, config)."""
+    rng = np.random.default_rng(seed)
+    raw = os.path.join(root, "raw_data", dataset)
+    pre = os.path.join(root, "preprocessed_data", dataset)
+    os.makedirs(os.path.join(pre, "accent"), exist_ok=True)
+
+    speakers = {}
+    for s in range(n_speakers):
+        spk = f"{speaker_prefix}{s:02d}"
+        gender = "M" if s % 2 == 0 else "F"
+        lang = languages[s % len(languages)]
+        speakers[spk] = [s, gender, lang]
+        spk_raw = os.path.join(raw, spk)
+        tg_dir = os.path.join(pre, "TextGrid", spk)
+        os.makedirs(spk_raw, exist_ok=True)
+        os.makedirs(tg_dir, exist_ok=True)
+        f0_base = 120.0 if gender == "M" else 210.0
+        for u in range(utts_per_speaker):
+            base = f"{spk}_utt{u:02d}"
+            wav, phones, intervals, total = synth_utterance(rng, f0_base)
+            write_wav(os.path.join(spk_raw, base + ".wav"), wav, SR)
+            with open(os.path.join(spk_raw, base + ".lab"), "w") as f:
+                f.write(" ".join(phones) + "\n")
+            tg = TextGrid(tiers=[Tier(name="phones", intervals=intervals)])
+            write_textgrid(os.path.join(tg_dir, base + ".TextGrid"), tg, 0.0, total)
+            with open(os.path.join(pre, "accent", base + ".accent"), "w") as f:
+                f.write("0" * len(phones))
+
+    with open(os.path.join(pre, "speakers.json"), "w") as f:
+        json.dump(speakers, f)
+
+    config = {
+        "dataset": dataset,
+        "path": {"raw_path": raw, "preprocessed_path": pre},
+        "preprocessing": {
+            "val_size": 0.2,
+            "test_size": 0.2,
+            "audio": {"sampling_rate": SR, "max_wav_value": 32768.0},
+            "stft": {"filter_length": 1024, "hop_length": 256, "win_length": 1024},
+            "mel": {"n_mel_channels": 80, "mel_fmin": 0, "mel_fmax": 8000},
+            "pitch": {"feature": "phoneme_level", "normalization": True},
+            "energy": {"feature": "phoneme_level", "normalization": True},
+            "speaker_generation": {
+                "metadata": {"gender": {"M": 0, "F": 1}, "language": {"ja": 0, "en": 1}}
+            },
+        },
+        "text": {"text_cleaners": [], "language": "ja"},
+        "accent": {"use_accent": True},
+    }
+    return raw, pre, config
+
+
+def make_config_dir(root, pre_dir, tmp, *, dataset="SYNTH", batch_size=2,
+                    group_size=2, total_step=20, log_step=5, synth_step=1000,
+                    val_step=10, save_step=10, grad_acc_step=1, warm_up_step=20,
+                    out_subdir="out"):
+    """Write a reference-style experiment config dir for the fixture corpus."""
+    import yaml
+
+    cfg_dir = os.path.join(tmp, "config")
+    os.makedirs(cfg_dir, exist_ok=True)
+    with open(os.path.join(cfg_dir, "preprocess.yaml"), "w") as f:
+        yaml.dump({
+            "val_size": 0.2, "test_size": 0.2,
+            "audio": {"sampling_rate": 22050, "max_wav_value": 32768.0},
+            "stft": {"filter_length": 1024, "hop_length": 256, "win_length": 1024},
+            "mel": {"n_mel_channels": 80, "mel_fmin": 0, "mel_fmax": 8000},
+            "pitch": {"feature": "phoneme_level", "normalization": True},
+            "energy": {"feature": "phoneme_level", "normalization": True},
+            "speaker_generation": {"metadata": {
+                "gender": {"M": 0, "F": 1}, "language": {"ja": 0, "en": 1}}},
+        }, f)
+    with open(os.path.join(cfg_dir, "model.yaml"), "w") as f:
+        yaml.dump({
+            "transformer": {
+                "encoder_layer": 2, "encoder_head": 2, "encoder_hidden": 64,
+                "decoder_layer": 2, "decoder_head": 2, "decoder_hidden": 64,
+                "conv_filter_size": 128, "conv_kernel_size": [9, 1],
+                "encoder_dropout": 0.2, "decoder_dropout": 0.2,
+            },
+            "variance_predictor": {"filter_size": 64, "kernel_size": 3, "dropout": 0.5},
+            "variance_embedding": {"pitch_quantization": "linear",
+                                   "energy_quantization": "linear", "n_bins": 256},
+            "jdit": {"use_jdit": False, "prenet_hidden": 64},
+            "multi_speaker": True,
+            "max_seq_len": 1000,
+            "vocoder": {"model": "HiFi-GAN", "speaker": "universal"},
+            "speaker_generation": {"GMM_mixtures": 3},
+            "discriminator": {"hidden": 64},
+        }, f)
+    with open(os.path.join(cfg_dir, "train.yaml"), "w") as f:
+        yaml.dump({
+            "path": {
+                "ckpt_path": os.path.join(tmp, out_subdir, "ckpt"),
+                "log_path": os.path.join(tmp, out_subdir, "log"),
+                "result_path": os.path.join(tmp, out_subdir, "result"),
+            },
+            "optimizer": {
+                "batch_size": batch_size, "betas": [0.9, 0.98], "eps": 1e-9,
+                "weight_decay": 0.0, "grad_clip_thresh": 1.0,
+                "grad_acc_step": grad_acc_step,
+                "warm_up_step": warm_up_step, "anneal_steps": [], "anneal_rate": 0.3,
+            },
+            "step": {"total_step": total_step, "log_step": log_step,
+                     "synth_step": synth_step, "val_step": val_step,
+                     "save_step": save_step},
+            "dataparallel": False,
+            "group_size": group_size,
+        }, f)
+    with open(os.path.join(cfg_dir, f"preprocess_{dataset}.yaml"), "w") as f:
+        yaml.dump({
+            "dataset": dataset,
+            "path": {"raw_path": os.path.join(root, "raw_data", dataset),
+                     "preprocessed_path": pre_dir},
+            "text": {"text_cleaners": [], "language": "ja"},
+            "accent": {"use_accent": True},
+        }, f)
+    return cfg_dir
+
+
+def build_synthetic_experiment_dir(tmp, *, n_speakers=2, utts_per_speaker=6,
+                                   seed=0, **config_kwargs):
+    """Corpus + preprocess + config dir in one call. Returns cfg_dir."""
+    import shutil
+
+    from ..cli.preprocess import main as preprocess_main
+
+    raw, pre, _ = make_synthetic_corpus(
+        tmp, n_speakers=n_speakers, utts_per_speaker=utts_per_speaker, seed=seed
+    )
+    cfg_dir = make_config_dir(tmp, pre, tmp, **config_kwargs)
+    preprocess_main(["--config", cfg_dir])
+    # single corpus: copy its stats into the config dir (gather is for multi)
+    shutil.copy(os.path.join(pre, "stats.json"), os.path.join(cfg_dir, "stats.json"))
+    shutil.copy(os.path.join(pre, "speakers.json"), os.path.join(cfg_dir, "speakers.json"))
+    return cfg_dir

@@ -22,6 +22,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def data_parallel_size(batch_size: int, n_devices: int) -> int:
+    """Largest device count <= n_devices that divides batch_size evenly, so
+    every full batch shards cleanly over the 'data' axis."""
+    n = max(min(batch_size, n_devices), 1)
+    while batch_size % n != 0:
+        n -= 1
+    return n
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

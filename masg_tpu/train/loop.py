@@ -24,6 +24,13 @@ from ..core.config import ExperimentConfig
 from ..data.dataset import ConcatDataset, Dataset
 from ..data.loader import GroupedLoader
 from ..models import FastSpeech2
+from ..parallel.mesh import (
+    data_parallel_size,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params,
+)
 from ..utils.logging import Logger, log_losses
 from .optim import make_optimizer
 from .state import TrainState, create_train_state
@@ -52,13 +59,26 @@ class Trainer:
         discriminator_params=None,
         vocoder=None,
         seed: int = 0,
+        mesh=None,
     ):
         self.cfg = cfg
         self.model = model
-        self.state = state
         self.train_loader = train_loader
         self.val_dataset = val_dataset
         self.vocoder = vocoder
+
+        # Production multi-device path (reference nn.DataParallel toggle,
+        # train.py:67-68): params tp-sharded per parallel/mesh rules (pure
+        # replication at n_model=1), optimizer moments likewise, batches
+        # dp-sharded over the 'data' axis; XLA inserts the gradient psum.
+        self.mesh = mesh
+        if mesh is not None:
+            state = state.replace(
+                params=shard_params(state.params, mesh),
+                batch_stats=replicate(state.batch_stats, mesh),
+                opt_state=shard_params(state.opt_state, mesh),
+            )
+        self.state = state
 
         t = cfg.train
         self.total_step = t.step.total_step
@@ -113,6 +133,19 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
+    def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Host batch -> device arrays, dp-sharded over the mesh when the
+        batch size divides the 'data' axis (partial tail batches fall back to
+        replication: correctness over speed)."""
+        arrs = batch_to_device(batch)
+        if self.mesh is None:
+            return arrs
+        b = arrs["speakers"].shape[0]
+        if b % self.mesh.shape["data"] == 0:
+            return shard_batch(arrs, self.mesh)
+        return replicate(arrs, self.mesh)
+
+    # ------------------------------------------------------------------
     def fit(self, restore_step: int = 0, max_steps: Optional[int] = None,
             verbose: bool = True) -> TrainState:
         step = restore_step + 1
@@ -127,7 +160,7 @@ class Trainer:
                 for batch in group:
                     self.rng, sub = jax.random.split(self.rng)
                     self.state, metrics = self.train_step_fn(
-                        self.state, batch_to_device(batch), sub
+                        self.state, self._place_batch(batch), sub
                     )
 
                     if step % self.log_step == 0:
@@ -178,7 +211,7 @@ class Trainer:
         from ..utils.logging import plot_mel
 
         logger = logger or self.train_logger
-        losses, eloss, out = self.eval_step_fn(self.state, batch_to_device(batch))
+        losses, eloss, out = self.eval_step_fn(self.state, self._place_batch(batch))
         i = 0
         mel_len = int(np.asarray(out.mel_len)[i])
         src_len = int(np.asarray(out.src_len)[i])
@@ -250,7 +283,7 @@ class Trainer:
         for group in loader:
             for batch in group:
                 n = len(batch["ids"])
-                losses, eloss, _ = self.eval_step_fn(self.state, batch_to_device(batch))
+                losses, eloss, _ = self.eval_step_fn(self.state, self._place_batch(batch))
                 losses = [float(x) for x in losses]
                 if sums is None:
                     sums = [0.0] * len(losses)
@@ -292,9 +325,18 @@ def build_experiment(
     text_bucket: int = 16,
     mel_bucket: int = 64,
     dtype=jnp.float32,
+    n_devices: Optional[int] = None,
+    n_model: int = 1,
+    use_flash: bool = False,
 ):
     """Datasets + model + optimizer + Trainer from a config dir
-    (the CLI composition root; reference train.py:30-105)."""
+    (the CLI composition root; reference train.py:30-105).
+
+    A (data, model) mesh over the visible devices is always built: `n_devices`
+    caps how many devices participate (default all), `n_model` is the
+    tensor-parallel axis size; the data axis is the largest batch-size divisor
+    that fits the remaining devices. This replaces the reference's
+    nn.DataParallel toggle (train.py:67-68) with XLA-partitioned sharding."""
     corpora = corpora or list(cfg.corpora)
     assert corpora, "no corpora configured"
 
@@ -342,7 +384,13 @@ def build_experiment(
         drop_last=False,
     )
 
-    model = FastSpeech2.from_config(cfg, dtype=dtype)
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n_data = data_parallel_size(bs, max(len(devices) // n_model, 1))
+    mesh = make_mesh(n_data=n_data, n_model=n_model, devices=devices)
+
+    model = FastSpeech2.from_config(cfg, dtype=dtype, use_flash=use_flash)
 
     # init with one real batch's shapes (reprocess directly: collate would
     # drop a sub-batch_size probe when drop_last is set)
@@ -389,7 +437,7 @@ def build_experiment(
         cfg, model, state, loader, val_dataset=val_ds, use_clf=use_clf,
         ganlike=ganlike,
         discriminator=discriminator, discriminator_params=discriminator_params,
-        seed=seed,
+        seed=seed, mesh=mesh,
     )
 
     if checkpoint is not None:

@@ -9,68 +9,7 @@ import numpy as np
 import pytest
 import yaml
 
-from fixtures import make_synthetic_corpus
-
-
-def make_config_dir(root, pre_dir, tmp):
-    """Write a reference-style experiment config dir for the fixture corpus."""
-    cfg_dir = os.path.join(tmp, "config")
-    os.makedirs(cfg_dir, exist_ok=True)
-    with open(os.path.join(cfg_dir, "preprocess.yaml"), "w") as f:
-        yaml.dump({
-            "val_size": 0.2, "test_size": 0.2,
-            "audio": {"sampling_rate": 22050, "max_wav_value": 32768.0},
-            "stft": {"filter_length": 1024, "hop_length": 256, "win_length": 1024},
-            "mel": {"n_mel_channels": 80, "mel_fmin": 0, "mel_fmax": 8000},
-            "pitch": {"feature": "phoneme_level", "normalization": True},
-            "energy": {"feature": "phoneme_level", "normalization": True},
-            "speaker_generation": {"metadata": {
-                "gender": {"M": 0, "F": 1}, "language": {"ja": 0, "en": 1}}},
-        }, f)
-    with open(os.path.join(cfg_dir, "model.yaml"), "w") as f:
-        yaml.dump({
-            "transformer": {
-                "encoder_layer": 2, "encoder_head": 2, "encoder_hidden": 64,
-                "decoder_layer": 2, "decoder_head": 2, "decoder_hidden": 64,
-                "conv_filter_size": 128, "conv_kernel_size": [9, 1],
-                "encoder_dropout": 0.2, "decoder_dropout": 0.2,
-            },
-            "variance_predictor": {"filter_size": 64, "kernel_size": 3, "dropout": 0.5},
-            "variance_embedding": {"pitch_quantization": "linear",
-                                   "energy_quantization": "linear", "n_bins": 256},
-            "jdit": {"use_jdit": False, "prenet_hidden": 64},
-            "multi_speaker": True,
-            "max_seq_len": 1000,
-            "vocoder": {"model": "HiFi-GAN", "speaker": "universal"},
-            "speaker_generation": {"GMM_mixtures": 3},
-            "discriminator": {"hidden": 64},
-        }, f)
-    with open(os.path.join(cfg_dir, "train.yaml"), "w") as f:
-        yaml.dump({
-            "path": {
-                "ckpt_path": os.path.join(tmp, "out/ckpt"),
-                "log_path": os.path.join(tmp, "out/log"),
-                "result_path": os.path.join(tmp, "out/result"),
-            },
-            "optimizer": {
-                "batch_size": 2, "betas": [0.9, 0.98], "eps": 1e-9,
-                "weight_decay": 0.0, "grad_clip_thresh": 1.0, "grad_acc_step": 1,
-                "warm_up_step": 20, "anneal_steps": [], "anneal_rate": 0.3,
-            },
-            "step": {"total_step": 20, "log_step": 5, "synth_step": 1000,
-                     "val_step": 10, "save_step": 10},
-            "dataparallel": False,
-            "group_size": 2,
-        }, f)
-    with open(os.path.join(cfg_dir, "preprocess_SYNTH.yaml"), "w") as f:
-        yaml.dump({
-            "dataset": "SYNTH",
-            "path": {"raw_path": os.path.join(root, "raw_data/SYNTH"),
-                     "preprocessed_path": pre_dir},
-            "text": {"text_cleaners": [], "language": "ja"},
-            "accent": {"use_accent": True},
-        }, f)
-    return cfg_dir
+from fixtures import make_config_dir, make_synthetic_corpus
 
 
 @pytest.fixture(scope="module")
