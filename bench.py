@@ -1,10 +1,22 @@
 """Benchmark harness. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Headline: END-TO-END text->wav real-time factor through the full stack
-(FastSpeech2 synthesis + HiFi-GAN vocoding, bf16) on the real chip.
-vs_baseline is measured against the driver's north-star of >= 50x realtime on
-one v5e chip (BASELINE.md; the reference itself publishes no numbers).
+Headline: END-TO-END text->wav real-time factor through the full stack on the
+real chip — FastSpeech2 *free-running* synthesis (durations PREDICTED by the
+model, the true inference path, reference synthesize.py:104-131 passes no
+targets) + HiFi-GAN vocoding, bf16. vs_baseline is measured against the
+driver's north-star of >= 50x realtime on one v5e chip (BASELINE.md; the
+reference itself publishes no numbers).
+
+`extra` carries the secondary metrics VERDICT r1 asked for:
+  - text2mel_frames_per_s: model-only throughput at the T=1000 bucket cap
+  - train_steps_per_s: full jitted train step, 35M-param config, f32, bs 16
+  - attn_xla_ms / attn_flash_ms @ T=1000: XLA attention vs the Pallas flash
+    kernel lowered through Mosaic on the real chip, and which one wins
+
+Untrained weights predict round(exp(0)-1)=0 durations, so the duration
+predictor's output bias is set to ln(5) (~4 frames/phone after rounding,
+realistic speech rate); the compute driven is exactly the trained-model path.
 
 Methodology: this TPU sits behind a relay tunnel with ~20ms per-dispatch
 latency and a block_until_ready that does not actually block, so iterations
@@ -13,6 +25,7 @@ loop-invariant hoisting) and the result is synced with a host fetch.
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -27,6 +40,160 @@ NORTH_STAR_X = 50.0  # >= 50x realtime end-to-end on one chip (BASELINE.md)
 N_ITERS = 10
 
 
+def _with_duration_bias(fs2_vars, value: float):
+    """Return vars with the duration predictor's output bias set to `value`
+    (log-duration space), so a fresh model free-runs at a realistic rate."""
+    import jax
+
+    def set_bias(path, x):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if ("duration_predictor" in keys and "linear_layer" in keys
+                and keys[-1] == "bias"):
+            return x + np.asarray(value, x.dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(set_bias, fs2_vars)
+
+
+def bench_e2e_and_text2mel(model, voc, fs2_vars, voc_vars, b, T_mel):
+    """Free-running text->mel->wav loop; returns (rtf, frames_per_s)."""
+    import jax
+    import jax.numpy as jnp
+
+    texts0 = jnp.asarray(b["texts"])
+    text_valid = (texts0 > 0).astype(texts0.dtype)
+    speakers = jnp.asarray(b["speakers"])
+    src_lens = jnp.asarray(b["src_lens"])
+    accents = jnp.asarray(b["accents"])
+    meta = jnp.asarray(b["speaker_meta"])
+
+    def fwd(fs2_vars, i, max_len):
+        # perturb inputs per iteration so XLA cannot hoist the computation
+        t = jnp.clip(texts0 + (i % 3) * text_valid, 0, 400)
+        return model.apply(
+            fs2_vars, (speakers + i) % 16, t, src_lens, max_len,
+            accents=accents, speaker_meta=meta,
+        )
+
+    @jax.jit
+    def e2e_loop(fs2_vars, voc_vars):
+        def body(i, carry):
+            acc, frames = carry
+            out = fwd(fs2_vars, i, T_mel)
+            wav = voc.apply(voc_vars, out.postnet_mel.astype(jnp.bfloat16))
+            return acc + jnp.sum(wav.astype(jnp.float32)), frames + jnp.sum(out.mel_len)
+
+        return jax.lax.fori_loop(
+            0, N_ITERS, body, (jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32))
+        )
+
+    @jax.jit
+    def mel_loop(fs2_vars):
+        def body(i, carry):
+            acc, frames = carry
+            out = fwd(fs2_vars, i, 1000)  # max_seq_len bucket cap
+            return acc + jnp.sum(out.postnet_mel.astype(jnp.float32)), \
+                frames + jnp.sum(out.mel_len)
+
+        return jax.lax.fori_loop(
+            0, N_ITERS, body, (jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32))
+        )
+
+    acc, frames = e2e_loop(fs2_vars, voc_vars)
+    _ = np.asarray(acc)  # compile + true barrier (host fetch)
+    t0 = time.perf_counter()
+    acc, frames = e2e_loop(fs2_vars, voc_vars)
+    total_frames = int(np.asarray(frames))
+    dt = time.perf_counter() - t0
+    assert total_frames > 0, "free-running path produced zero frames"
+    rtf = (total_frames * HOP / SAMPLE_RATE) / dt
+
+    acc, frames = mel_loop(fs2_vars)
+    _ = np.asarray(acc)
+    t0 = time.perf_counter()
+    acc, frames = mel_loop(fs2_vars)
+    total_frames = int(np.asarray(frames))
+    dt = time.perf_counter() - t0
+    frames_per_s = total_frames / dt
+    return rtf, frames_per_s
+
+
+def bench_train_step(cfg, example_inputs):
+    """Full jitted train step (35M config, f32, bs 16): steps/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from masg_tpu.models import FastSpeech2
+    from masg_tpu.train.optim import make_optimizer
+    from masg_tpu.train.state import create_train_state
+    from masg_tpu.train.step import make_train_step
+
+    model = FastSpeech2.from_config(cfg)
+    b = example_inputs(B=16, L=128, T=896)
+    T = b["mels"].shape[1]
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["speakers"], batch["texts"], batch["src_lens"], T,
+        mels=batch["mels"], mel_lens=batch["mel_lens"], p_targets=batch["pitches"],
+        e_targets=batch["energies"], d_targets=batch["durations"],
+        accents=batch["accents"], speaker_meta=batch["speaker_meta"],
+    )
+    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+    state = create_train_state(model, variables, tx)
+    step_fn = make_train_step(model)
+
+    N_STEPS = 20
+
+    @jax.jit
+    def loop(state, rng):
+        def body(i, s):
+            s2, _ = step_fn(s, batch, jax.random.fold_in(rng, i))
+            return s2
+        return jax.lax.fori_loop(0, N_STEPS, body, state)
+
+    rng = jax.random.PRNGKey(1)
+    out = loop(state, rng)
+    _ = np.asarray(out.step)  # compile + barrier
+    t0 = time.perf_counter()
+    out = loop(out, rng)
+    _ = np.asarray(out.step)
+    dt = time.perf_counter() - t0
+    return N_STEPS / dt
+
+
+def bench_attention(T=1000, B=8, H=2, Dh=128, iters=30):
+    """XLA attention vs Pallas flash kernel at the max_seq_len bucket."""
+    import jax
+    import jax.numpy as jnp
+
+    from masg_tpu.ops.attention import flash_attention, mha_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, T, Dh)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, H, T, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, T, Dh)), jnp.bfloat16)
+    lens = jnp.asarray(rng.integers(T - 200, T + 1, size=(B,)), jnp.int32)
+    pad = jnp.arange(T)[None, :] >= lens[:, None]
+
+    def timed(fn):
+        @jax.jit
+        def loop(q, k, v):
+            def body(i, acc):
+                qi = q + (i % 3).astype(q.dtype) * 1e-3
+                return acc + jnp.sum(fn(qi, k, v).astype(jnp.float32))
+            return jax.lax.fori_loop(0, iters, body, jnp.asarray(0.0, jnp.float32))
+
+        _ = np.asarray(loop(q, k, v))
+        t0 = time.perf_counter()
+        _ = np.asarray(loop(q, k, v))
+        return (time.perf_counter() - t0) / iters * 1e3  # ms per call
+
+    t_xla = timed(lambda q, k, v: mha_attention(q, k, v, pad))
+    t_flash = timed(lambda q, k, v: flash_attention(q, k, v, lens))
+    return t_xla, t_flash
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -35,65 +202,41 @@ def main():
     from masg_tpu.models import FastSpeech2
     from masg_tpu.models.hifigan import HiFiGANGenerator
 
-    B, L, T = 8, 128, 512
+    B, L, T_mel = 8, 128, 640
     cfg = _flagship()
     model = FastSpeech2.from_config(cfg, dtype=jnp.bfloat16)
     voc = HiFiGANGenerator(dtype=jnp.bfloat16)
-    b = _example_inputs(B=B, L=L, T=T)
+    b = _example_inputs(B=B, L=L, T=T_mel)
 
     fs2_vars = model.init(
         jax.random.PRNGKey(0),
         jnp.asarray(b["speakers"]), jnp.asarray(b["texts"]),
-        jnp.asarray(b["src_lens"]), T,
-        mel_lens=jnp.asarray(b["mel_lens"]), p_targets=jnp.asarray(b["pitches"]),
-        e_targets=jnp.asarray(b["energies"]), d_targets=jnp.asarray(b["durations"]),
+        jnp.asarray(b["src_lens"]), T_mel,
         accents=jnp.asarray(b["accents"]), speaker_meta=jnp.asarray(b["speaker_meta"]),
     )
+    fs2_vars = _with_duration_bias(fs2_vars, math.log(5.0))
     voc_vars = voc.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 80), jnp.bfloat16))
 
-    texts0 = jnp.asarray(b["texts"])
-    text_valid = (texts0 > 0).astype(texts0.dtype)
-
-    @jax.jit
-    def e2e_loop(fs2_vars, voc_vars, speakers, texts, src_lens, durations, accents, meta):
-        def body(i, carry):
-            acc, frames = carry
-            # perturb inputs per iteration so XLA cannot hoist the computation
-            t = jnp.clip(texts + (i % 3) * text_valid, 0, 400)
-            out = model.apply(
-                fs2_vars, (speakers + i) % 16, t, src_lens, T,
-                d_targets=durations, accents=accents, speaker_meta=meta,
-            )
-            wav = voc.apply(voc_vars, out.postnet_mel.astype(jnp.bfloat16))
-            return acc + jnp.sum(wav.astype(jnp.float32)), frames + jnp.sum(out.mel_len)
-
-        return jax.lax.fori_loop(
-            0, N_ITERS, body, (jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32))
-        )
-
-    args = (
-        fs2_vars, voc_vars,
-        jnp.asarray(b["speakers"]), texts0, jnp.asarray(b["src_lens"]),
-        jnp.asarray(b["durations"]), jnp.asarray(b["accents"]),
-        jnp.asarray(b["speaker_meta"]),
-    )
-
-    acc, frames = e2e_loop(*args)
-    _ = np.asarray(acc)  # compile + true barrier (host fetch)
-
-    t0 = time.perf_counter()
-    acc, frames = e2e_loop(*args)
-    total_frames = int(np.asarray(frames))
-    dt = time.perf_counter() - t0
-
-    audio_seconds = total_frames * HOP / SAMPLE_RATE
-    rtf = audio_seconds / dt
+    rtf, frames_per_s = bench_e2e_and_text2mel(model, voc, fs2_vars, voc_vars, b, T_mel)
+    steps_per_s = bench_train_step(cfg, _example_inputs)
+    attn_xla_ms, attn_flash_ms = bench_attention(T=1000)
+    attn_xla_4k, attn_flash_4k = bench_attention(T=4000, iters=20)
 
     print(json.dumps({
-        "metric": "text2wav_rtf_per_chip",
+        "metric": "text2wav_rtf_per_chip_freerun",
         "value": round(rtf, 1),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / NORTH_STAR_X, 3),
+        "extra": {
+            "text2mel_frames_per_s": round(frames_per_s),
+            "train_steps_per_s": round(steps_per_s, 2),
+            "attn_xla_ms_T1000": round(attn_xla_ms, 3),
+            "attn_flash_ms_T1000": round(attn_flash_ms, 3),
+            "attn_winner_T1000": "flash" if attn_flash_ms < attn_xla_ms else "xla",
+            "attn_xla_ms_T4000": round(attn_xla_4k, 3),
+            "attn_flash_ms_T4000": round(attn_flash_4k, 3),
+            "attn_winner_T4000": "flash" if attn_flash_4k < attn_xla_4k else "xla",
+        },
     }))
 
 

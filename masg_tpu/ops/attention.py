@@ -114,10 +114,15 @@ def flash_attention(
     v: jnp.ndarray,
     lengths: jnp.ndarray,
     *,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 256,
 ) -> jnp.ndarray:
     """Fused masked attention via Pallas.
+
+    Block defaults are tuned on a real v5e chip (bench.py sweep, B=8 H=2
+    Dh=128 bf16): at T=1000 XLA's fused attention still edges this kernel
+    out (~1.0 vs ~1.03 ms), flash wins from T~2000 (1.8 vs 2.1 ms) and by
+    43x at T=8000 (8.6 vs 370 ms) where the (T, T) score matrix blows HBM.
 
     Args:
       q, k, v: (B, H, T, Dh); T is padded to a multiple of the block sizes
