@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List
 
 import numpy as np
@@ -26,6 +27,7 @@ class GroupedLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        workers: int = 1,
     ):
         assert batch_size * group_size < len(dataset) or drop_last is False, (
             "dataset smaller than one mega-batch"
@@ -37,6 +39,12 @@ class GroupedLoader:
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        # workers>1 overlaps item IO with a thread pool (np.load releases the
+        # GIL during reads) for disk-bound corpora; measured on this host
+        # (scripts/bench_loader.py, page-cached 1k-utterance corpus) inline
+        # loading wins (1592 vs 1445 utt/s) because collate parsing is
+        # GIL-bound, and either is ~3x the 512 utt/s train consumption rate.
+        self.workers = workers
 
     def __len__(self):
         mega = self.batch_size * self.group_size
@@ -52,14 +60,20 @@ class GroupedLoader:
     def _produce(self, q: "queue.Queue"):
         mega = self.batch_size * self.group_size
         idx = self._epoch_indices()
+        pool = ThreadPoolExecutor(self.workers) if self.workers > 1 else None
         try:
             for lo in range(0, len(idx), mega):
                 chunk = idx[lo : lo + mega]
                 if self.drop_last and len(chunk) < mega:
                     break
-                data = [self.dataset[int(i)] for i in chunk]
+                if pool is not None:
+                    data = list(pool.map(self.dataset.__getitem__, map(int, chunk)))
+                else:
+                    data = [self.dataset[int(i)] for i in chunk]
                 q.put(self.dataset.collate(data))
         finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
             q.put(None)
 
     def __iter__(self) -> Iterator[List[Dict[str, np.ndarray]]]:
