@@ -20,20 +20,51 @@ import numpy as np
 
 
 def load_distribution(path: str):
+    """Load a speaker distribution: our .npz (pi/mu/sigma) or the reference's
+    torch-pickled InterpolateGMM/BarycenterGMM .pth
+    (examples_gen_distri.py:207-215: `torch.load("distributions/*.pth")`).
+
+    The reference pickles instances of its own `model.distributions.*`
+    classes, which don't exist here — a stub unpickler stands in for any
+    unimportable class so the inner torch tensors (Categorical probs,
+    Independent(Normal) loc/scale) reconstruct normally and convert to
+    DiagGMM arrays."""
     from ..ops.gmm import DiagGMM
 
     if path.endswith(".npz"):
         z = np.load(path)
         return DiagGMM(pi=z["pi"], mu=z["mu"], sigma=z["sigma"])
-    # reference torch format: a pickled torch distribution
+    import pickle
+    import types
+
     import torch
 
-    d = torch.load(path, map_location="cpu", weights_only=False)
-    mix = d.mixture_distribution.probs.detach().numpy()
-    comp = d.component_distribution
+    class _StubUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ModuleNotFoundError, AttributeError):
+                # reference-repo class (e.g. model.distributions.InterpolateGMM):
+                # a bare shell is enough, we only read its __dict__
+                return type(name, (), {})
+
+    shim = types.ModuleType("masg_tpu_stub_pickle")  # torch wants a module
+    shim.Unpickler = _StubUnpickler
+    shim.load = lambda f, **kw: _StubUnpickler(f, **kw).load()
+    d = torch.load(path, map_location="cpu", pickle_module=shim,
+                   weights_only=False)
+
+    def attr(obj, public, private):
+        v = obj.__dict__.get(private) if hasattr(obj, "__dict__") else None
+        return v if v is not None else getattr(obj, public)
+
+    mix = attr(d, "mixture_distribution", "_mixture_distribution")
+    comp = attr(d, "component_distribution", "_component_distribution")
     base = comp.base_dist if hasattr(comp, "base_dist") else comp
     return DiagGMM(
-        pi=mix, mu=base.loc.detach().numpy(), sigma=base.scale.detach().numpy()
+        pi=mix.probs.detach().numpy(),
+        mu=base.loc.detach().numpy(),
+        sigma=base.scale.detach().numpy(),
     )
 
 

@@ -19,6 +19,10 @@ def main(argv=None):
     parser.add_argument("--plain", action="store_true",
                         help="labs are plain `start end phone` (seconds), not "
                              "HTS full-context 100ns labels")
+    parser.add_argument("--seconds", action="store_true",
+                        help="full-context labs carry times in seconds "
+                             "(JVS-style, reference convert_label_jvs.py:75) "
+                             "instead of 100ns units")
     args = parser.parse_args(argv)
 
     from ..preprocessor.alignments import prepare_alignments
@@ -26,6 +30,7 @@ def main(argv=None):
     n = prepare_alignments(
         args.lab, args.output, args.speaker,
         with_accent=args.with_accent, full_context=not args.plain,
+        times_in_seconds=args.seconds,
     )
     print(f"converted {n} lab files -> {args.output}/TextGrid/{args.speaker}")
 

@@ -31,13 +31,17 @@ DEFAULT_HIFIGAN_CONFIG = {
 
 
 class Vocoder:
-    def __init__(self, generator: HiFiGANGenerator, params, hop_length: int = 256,
-                 max_wav_value: float = 32768.0):
+    def __init__(self, generator, params, hop_length: int = 256,
+                 max_wav_value: float = 32768.0, mel_scale: float = 1.0):
         self.generator = generator
         self.params = params
         self.hop_length = hop_length
         self.max_wav_value = max_wav_value
-        self._infer = jax.jit(lambda p, mel: generator.apply({"params": p}, mel))
+        # MelGAN checkpoints expect log10 mels: natural-log mels / ln(10)
+        # (reference utils/model.py:76-78)
+        self.mel_scale = mel_scale
+        self._infer = jax.jit(
+            lambda p, mel: generator.apply({"params": p}, mel * mel_scale))
 
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         """(B, T, n_mels) channel-last log-mel -> (B, T*hop) float wav."""
@@ -60,10 +64,27 @@ def get_vocoder(
     """
     name = model_config.vocoder.model
     if name == "MelGAN":
-        raise NotImplementedError(
-            "MelGAN loads via torch.hub in the reference; unavailable without "
-            "network egress. Use vocoder.model='HiFi-GAN'."
-        )
+        # reference pulls this from torch.hub (utils/model.py:46-56); here a
+        # LOCAL descript-MelGAN torch checkpoint converts to the first-party
+        # flax generator (models/melgan.py); without one it random-inits
+        # (smoke-test parity with the HiFi-GAN branch)
+        from ..models.melgan import MelGANGenerator
+        from ..models.melgan import convert_torch_state_dict as convert_melgan
+
+        gen = MelGANGenerator()
+        if checkpoint and os.path.exists(checkpoint):
+            import torch
+
+            ckpt = torch.load(checkpoint, map_location="cpu", weights_only=True)
+            for key in ("model_g", "generator", "netG", "state_dict"):
+                if isinstance(ckpt, dict) and key in ckpt:
+                    ckpt = ckpt[key]
+            state = {k: v.numpy() for k, v in ckpt.items()}
+            params = convert_melgan(state)
+        else:
+            mel = jnp.zeros((1, 8, 80))
+            params = gen.init(jax.random.PRNGKey(rng_seed), mel)["params"]
+        return Vocoder(gen, params, mel_scale=1.0 / float(np.log(10.0)))
     if name != "HiFi-GAN":
         raise ValueError(f"unknown vocoder {name!r}")
 

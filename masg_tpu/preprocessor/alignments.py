@@ -41,9 +41,13 @@ class Segment:
         return False
 
 
-def read_full_context_lab(path: str) -> List[Segment]:
-    """HTS full-context .lab (times in 100ns units, phone in -p+ context)
-    -> phone segments (reference convert_label.py:60-76)."""
+def read_full_context_lab(path: str, times_in_seconds: bool = False) -> List[Segment]:
+    """HTS full-context .lab (phone in -p+ context) -> phone segments.
+
+    Times are 100ns units (reference convert_label.py:60-76, /10e6) for
+    JSUT-style labs, or already seconds for JVS-style labs
+    (convert_label_jvs.py:75: no division)."""
+    scale = 1.0 if times_in_seconds else 1e7
     segments = []
     with open(path) as f:
         for line in f:
@@ -53,23 +57,39 @@ def read_full_context_lab(path: str) -> List[Segment]:
             phone = re.search(r"\-(.*?)\+", parts[2])
             label = openjtalk2julius(phone.group(1)) if phone else parts[2]
             segments.append(
-                Segment(float(parts[0]) / 10e6, float(parts[1]) / 10e6, label)
+                Segment(float(parts[0]) / scale, float(parts[1]) / scale, label)
             )
     return segments
 
 
+def decode_octal_escapes(s: str) -> str:
+    """Decode `\\ooo` octal byte escapes into UTF-8 text (Julius segmentation
+    kit writes multibyte mora labels this way; reference
+    prepare_tg_hts.py:58-74 decodes them inside its openjtalk2julius)."""
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 3 < len(s) + 1 and s[i + 1: i + 4].isdigit():
+            out.append(int(s[i + 1: i + 4], 8))
+            i += 4
+        else:
+            out.extend(s[i].encode())
+            i += 1
+    return out.decode("utf-8", errors="replace")
+
+
 def read_plain_lab(path: str) -> List[Segment]:
     """Plain `start end phone` .lab with times in seconds (Julius segmentation
-    kit output without full context)."""
+    kit / prepare_tg_hts.py:83-99 output without -p+ context; labels may
+    carry octal byte escapes)."""
     segments = []
     with open(path) as f:
         for line in f:
             parts = line.split()
             if len(parts) < 3:
                 continue
-            segments.append(
-                Segment(float(parts[0]), float(parts[1]), openjtalk2julius(parts[2]))
-            )
+            label = openjtalk2julius(decode_octal_escapes(parts[2]))
+            segments.append(Segment(float(parts[0]), float(parts[1]), label))
     return segments
 
 
@@ -109,6 +129,7 @@ def prepare_alignments(
     speaker: str,
     with_accent: bool = False,
     full_context: bool = True,
+    times_in_seconds: bool = False,
 ) -> int:
     """Glob **/*.lab under lab_dir -> TextGrid/<speaker>/ (+ accent/ when
     requested). Reference prepare_tg_accent_jsut.py:69-101. Returns the number
@@ -128,7 +149,7 @@ def prepare_alignments(
             with open(ac_dir / lab_file.with_suffix(".accent").name, "w") as f:
                 f.write("".join(accent))
         segments = (
-            read_full_context_lab(str(lab_file))
+            read_full_context_lab(str(lab_file), times_in_seconds=times_in_seconds)
             if full_context
             else read_plain_lab(str(lab_file))
         )
