@@ -14,6 +14,10 @@ def main(argv=None):
     parser.add_argument("-c", "--config", type=str, required=True)
     parser.add_argument("--restore_step", type=int, required=True)
     parser.add_argument("--corpus", type=str, nargs="*", default=None)
+    parser.add_argument("--split", type=str, default="val.txt",
+                        choices=["val.txt", "test.txt"],
+                        help="metadata split to evaluate (reference "
+                             "evaluate.py:32-33 always uses val.txt)")
     args = parser.parse_args(argv)
 
     from ..core.cache import enable_compilation_cache
@@ -25,7 +29,8 @@ def main(argv=None):
 
     cfg = load_config_dir(args.config)
     trainer = build_experiment(cfg, corpora=args.corpus,
-                               restore_step=args.restore_step)
+                               restore_step=args.restore_step,
+                               val_split=args.split)
     means = trainer.evaluate(args.restore_step)
     if means:
         print(

@@ -32,7 +32,17 @@ def main(argv=None):
                         help="tensor-parallel axis size of the (data, model) mesh")
     parser.add_argument("--flash", action="store_true",
                         help="Pallas flash attention in the FFT blocks (TPU only)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="jax.distributed.initialize before device use "
+                             "(coordinator via MASG_COORDINATOR / "
+                             "MASG_NUM_PROCESSES / MASG_PROCESS_ID, or "
+                             "auto-detected on managed TPU pods)")
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        from ..parallel.distributed import initialize
+
+        initialize()
 
     from ..core.cache import enable_compilation_cache
 

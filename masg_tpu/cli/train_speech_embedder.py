@@ -27,6 +27,10 @@ def main(argv=None):
                         help="reproduce the reference snapshot's woGE2E ablation")
     parser.add_argument("--checkpoint_interval", type=int, default=200)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="cap the data-parallel device mesh (default all; "
+                             "replaces the reference's NCCL DDP, "
+                             "train_speech_embedder.py:128-132)")
     args = parser.parse_args(argv)
 
     from ..core.cache import enable_compilation_cache
@@ -48,6 +52,7 @@ def main(argv=None):
         use_ge2e_backward=not args.wo_ge2e,
         checkpoint_interval=args.checkpoint_interval,
         seed=args.seed,
+        n_devices=args.n_devices,
     )
 
 

@@ -41,6 +41,12 @@ def initialize(
             process_id=process_id,
         )
     try:
+        # CPU backends need an explicit cross-process collectives impl
+        # (no-op for TPU, where collectives ride ICI/DCN natively)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
         # single-process runs (the common dev case) are not an error

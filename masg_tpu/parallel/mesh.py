@@ -72,8 +72,23 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
+def place_global(x, mesh: Mesh, spec: P):
+    """Place one array with a NamedSharding, multi-process safe.
+
+    Single-process: plain device_put. Multi-process (jax.distributed over
+    DCN / gloo): the mesh spans non-addressable devices, so build the global
+    jax.Array from each process's identical host copy via
+    make_array_from_callback — every process materializes only its
+    addressable shards."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_params(params: Any, mesh: Mesh) -> Any:
-    """device_put every param with its rule's NamedSharding (replicated
+    """Place every param with its rule's NamedSharding (replicated
     fallback; dims that don't divide the mesh axis stay replicated)."""
     n_model = mesh.shape["model"]
 
@@ -89,7 +104,7 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
                 ok = False
         if not ok or n_model == 1:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return place_global(x, mesh, spec)
 
     return jax.tree_util.tree_map_with_path(place, params)
 
@@ -99,12 +114,10 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
     def place(x):
         spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return place_global(x, mesh, spec)
 
     return jax.tree.map(place, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
-    )
+    return jax.tree.map(lambda x: place_global(x, mesh, P()), tree)

@@ -261,13 +261,33 @@ def train_speaker_encoder(
     seed: int = 0,
     n_mels: int = 80,
     verbose: bool = True,
+    n_devices: Optional[int] = None,
 ):
-    """Full trainer (reference train:115-248). Returns final params + ge2e."""
+    """Full trainer (reference train:115-248). Returns final params + ge2e.
+
+    Data parallelism: the reference GE2E trainer is the repo's only NCCL DDP
+    user (train_speech_embedder.py:128-132). Here the (N*M, T, n_mels) chunk
+    batch dp-shards over a device mesh; the GE2E similarity needs every
+    embedding, so XLA inserts the all-gather before the (N, M, N) matrix —
+    no hand-written collectives."""
     import orbax.checkpoint as ocp
+
+    from ..parallel.mesh import data_parallel_size, make_mesh, replicate, shard_batch
 
     ds = SpeakerChunkDataset(data_path, datasets, m_utts=m_utts, seed=seed)
     n_speakers = min(n_speakers, len(ds))
     batches_per_epoch = batches_per_epoch or max(1, len(ds) // n_speakers)
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    mesh = make_mesh(
+        n_data=data_parallel_size(n_speakers * m_utts, len(devices)),
+        n_model=1, devices=devices,
+    )
+
+    def place(mels, langs):
+        return shard_batch({"m": jnp.asarray(mels), "l": jnp.asarray(langs)}, mesh)
 
     embedder = SpeechEmbedder(n_mels=n_mels)
     init_state, step = make_ge2e_train_step(
@@ -276,6 +296,7 @@ def train_speaker_encoder(
     mels0, _ = ds.sample_batch(n_speakers, variable_length=False)
     rng = jax.random.PRNGKey(seed)
     state = init_state(rng, mels0)
+    state = replicate(state, mesh)
 
     threshold = compute_da_threshold(n_speakers, m_utts)
     os.makedirs(out_dir, exist_ok=True)
@@ -287,9 +308,10 @@ def train_speaker_encoder(
         total = total_da = 0.0
         for b in range(batches_per_epoch):
             mels, langs = ds.sample_batch(n_speakers, variable_length=False)
+            placed = place(mels, langs)
             rng, sub = jax.random.split(rng)
             da_gate = (da_loss_val < threshold) or (progress <= da_startpoint)
-            state, loss, da = step(state, jnp.asarray(mels), jnp.asarray(langs),
+            state, loss, da = step(state, placed["m"], placed["l"],
                                    sub, jnp.asarray(da_gate))
             da_loss_val = float(da)
             total += float(loss)

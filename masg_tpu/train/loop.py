@@ -131,19 +131,24 @@ class Trainer:
         self.train_logger = Logger(os.path.join(t.path.log_path, "train"))
         self.val_logger = Logger(os.path.join(t.path.log_path, "val"))
         self.rng = jax.random.PRNGKey(seed)
+        # multi-host: every process computes (collectives need all ranks);
+        # only the lead process writes logs/figures
+        self.is_lead = jax.process_index() == 0
+        self.single_process = jax.process_count() == 1
 
     # ------------------------------------------------------------------
     def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         """Host batch -> device arrays, dp-sharded over the mesh when the
         batch size divides the 'data' axis (partial tail batches fall back to
-        replication: correctness over speed)."""
-        arrs = batch_to_device(batch)
+        replication: correctness over speed). Raw numpy goes straight to the
+        mesh placement so multi-process global arrays build correctly."""
+        raw = {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
         if self.mesh is None:
-            return arrs
-        b = arrs["speakers"].shape[0]
+            return {k: jnp.asarray(v) for k, v in raw.items()}
+        b = raw["speakers"].shape[0]
         if b % self.mesh.shape["data"] == 0:
-            return shard_batch(arrs, self.mesh)
-        return replicate(arrs, self.mesh)
+            return shard_batch(raw, self.mesh)
+        return replicate(raw, self.mesh)
 
     # ------------------------------------------------------------------
     def fit(self, restore_step: int = 0, max_steps: Optional[int] = None,
@@ -159,11 +164,13 @@ class Trainer:
             for group in self.train_loader:
                 for batch in group:
                     self.rng, sub = jax.random.split(self.rng)
+                    # numpy key: multi-process jit treats host values as
+                    # replicated (identical seeds on every process)
                     self.state, metrics = self.train_step_fn(
-                        self.state, self._place_batch(batch), sub
+                        self.state, self._place_batch(batch), np.asarray(sub)
                     )
 
-                    if step % self.log_step == 0:
+                    if step % self.log_step == 0 and self.is_lead:
                         m = jax.device_get(metrics)
                         losses = [m.total, m.mel, m.postnet_mel, m.pitch, m.energy, m.duration]
                         log_losses(self.train_logger, step, losses,
@@ -179,7 +186,9 @@ class Trainer:
                             rate = step / max(time.time() - t_start, 1e-9)
                             print(msg1 + msg2 + f" [{rate:.1f} steps/s]")
 
-                    if step % self.synth_step == 0:
+                    # synth fetches dp-sharded activations, which are not
+                    # fully addressable across hosts: single-process telemetry
+                    if step % self.synth_step == 0 and self.single_process:
                         try:
                             self.synth_sample(batch, step)
                         except Exception as e:  # synth is best-effort telemetry
@@ -292,7 +301,7 @@ class Trainer:
                 count += n
                 last_batch = batch
         means = [s / max(count, 1) for s in sums] if sums else []
-        if means:
+        if means and self.is_lead:
             log_losses(self.val_logger, step, means, eloss=eloss_sum / max(count, 1))
             msg = (
                 "Validation Step {}, Total Loss: {:.4f}, Mel Loss: {:.4f}, "
@@ -304,7 +313,7 @@ class Trainer:
             with open(os.path.join(val_log, "log.txt"), "a") as f:
                 f.write(msg + "\n")
         # one synthesized val sample per evaluation (reference evaluate.py:83-111)
-        if last_batch is not None:
+        if last_batch is not None and self.single_process:
             try:
                 self.synth_sample(last_batch, step, logger=self.val_logger,
                                   tag_prefix="Validation")
@@ -328,6 +337,7 @@ def build_experiment(
     n_devices: Optional[int] = None,
     n_model: int = 1,
     use_flash: bool = False,
+    val_split: str = "val.txt",
 ):
     """Datasets + model + optimizer + Trainer from a config dir
     (the CLI composition root; reference train.py:30-105).
@@ -368,8 +378,10 @@ def build_experiment(
                 drop_last=True, text_bucket=text_bucket, mel_bucket=mel_bucket)
         for c in corpora
     ]
+    # the reference's standalone evaluate.py always reads val.txt
+    # (evaluate.py:32-33); val_split="test.txt" evaluates the held-out split
     val_sets = [
-        Dataset("val.txt", corpus_dict(c), batch_size=bs, sort=False,
+        Dataset(val_split, corpus_dict(c), batch_size=bs, sort=False,
                 drop_last=False, text_bucket=text_bucket, mel_bucket=mel_bucket)
         for c in corpora
     ]

@@ -21,3 +21,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# persistent XLA compile cache: repeated train-step compiles across tests
+# (and across suite runs) hit the same ~/.cache entries the CLIs use
+from masg_tpu.core.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute integration tests, opt in with MASG_SLOW_TESTS=1",
+    )
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs the real TPU backend, opt in with MASG_TPU_TESTS=1",
+    )

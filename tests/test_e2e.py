@@ -171,3 +171,29 @@ def test_multicorpus_gather_and_concat_training(tmp_path):
     train_main(["-c", cfg_dir, "--max_steps", "5", "--corpus", "CORPA", "CORPB"])
     log = open(os.path.join(tmp, "out/log/train/log.txt")).read()
     assert "Step 5" in log
+
+
+def test_evaluate_cli_val_and_test_split(experiment, capsys):
+    """Standalone evaluate CLI (reference evaluate.py: val.txt,
+    size-weighted means); --split test.txt evaluates the held-out split."""
+    import re
+
+    tmp, cfg_dir, pre = experiment
+    from masg_tpu.cli.evaluate import main as eval_main
+
+    eval_main(["-c", cfg_dir, "--restore_step", "20"])
+    out_val = capsys.readouterr().out
+    assert "Validation Step 20" in out_val
+
+    eval_main(["-c", cfg_dir, "--restore_step", "20", "--split", "test.txt"])
+    out_test = capsys.readouterr().out
+    assert "Validation Step 20" in out_test
+
+    def losses(s):
+        return [float(x) for x in re.findall(r"Loss: ([\d.]+)", s)]
+
+    lv, lt = losses(out_val), losses(out_test)
+    assert len(lv) == 6 and len(lt) == 6
+    assert all(np.isfinite(lv)) and all(np.isfinite(lt))
+    # different splits -> different numbers (guards against split mixups)
+    assert lv != lt

@@ -181,3 +181,45 @@ def test_da_subroutine_reduces_da_loss(tmp_path):
     state = run_da_subroutine(embedder, state, ds, 4, batches=6, max_epochs=4)
     after = da_loss(state.embedder_params)
     assert after < before, (before, after)
+
+
+def test_ge2e_step_dp_mesh_equivalence(tmp_path):
+    """The GE2E step under a dp-sharded batch on the 8-device mesh matches
+    single-device execution (replaces the reference's NCCL DDP,
+    train_speech_embedder.py:128-132); XLA all-gathers the embeddings for the
+    (N, M, N) similarity automatically."""
+    from masg_tpu.parallel.mesh import (data_parallel_size, make_mesh,
+                                        replicate, shard_batch)
+    from masg_tpu.train.ge2e import make_ge2e_train_step
+
+    rng = np.random.default_rng(0)
+    n_speakers, m_utts = 4, 4  # batch 16 -> 8-way dp shardable
+    mels = rng.normal(size=(16, 40, 20)).astype(np.float32)
+    langs = (np.arange(16) % 2).astype(np.float32)
+
+    embedder = SpeechEmbedder(n_mels=20, hidden=16, n_layers=2, proj=8)
+    init_state, step = make_ge2e_train_step(embedder, n_speakers, m_utts, lr=3e-3)
+    state0 = init_state(jax.random.PRNGKey(0), mels)
+
+    def run(state, place):
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for i in range(3):
+            key, sub = jax.random.split(key)
+            m, l = place(mels, langs)
+            state, loss, da = step(state, m, l, sub, jnp.asarray(True))
+            losses.append([float(loss), float(da)])
+        return np.array(losses)
+
+    ref = run(state0, lambda m, l: (jnp.asarray(m), jnp.asarray(l)))
+
+    mesh = make_mesh(n_data=data_parallel_size(16, 8), n_model=1)
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    state_r = replicate(state0, mesh)
+
+    def place(m, l):
+        b = shard_batch({"m": jnp.asarray(m), "l": jnp.asarray(l)}, mesh)
+        return b["m"], b["l"]
+
+    got = run(state_r, place)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
