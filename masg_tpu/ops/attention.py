@@ -74,7 +74,12 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_pad: i
 
     q = q_ref[:].astype(jnp.float32) * scale
 
-    num_kb = t_pad // block_k
+    # dynamic trip count: key blocks at/after valid_len are fully masked and
+    # contribute nothing, so skip their compute (the K/V DMA still moves the
+    # whole buffer — at T=1000 that bounds the gain; the win grows with T)
+    num_kb = jnp.minimum(
+        (valid_len + block_k - 1) // block_k, t_pad // block_k
+    )
 
     def body(kb, carry):
         m_prev, l_prev, acc = carry
@@ -148,6 +153,10 @@ def flash_attention(
 
     grid = (b * h, t_pad // block_q)
 
+    # off-TPU (CPU tests, --flash on a dev box) the kernel runs in pallas
+    # interpret mode: same numerics, no Mosaic lowering required
+    interpret = jax.default_backend() != "tpu"
+
     out = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k, t_pad=t_pad),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -173,6 +182,7 @@ def flash_attention(
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dh), q.dtype),
+        interpret=interpret,
     )(lens, qf, kf, vf)
 
     return out.reshape(b, h, t_pad, dh)[:, :, :t, :]

@@ -75,3 +75,39 @@ def test_fastspeech2_with_flash_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out.postnet_mel), np.asarray(ref.postnet_mel), atol=2e-4
     )
+
+
+def test_use_flash_model_forward_matches_xla_path():
+    """FastSpeech2 forward with use_flash=True (auto interpret mode off-TPU)
+    matches the XLA attention path — the --flash CLI flag's contract."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _example_inputs, _flagship
+    from masg_tpu.models import FastSpeech2
+
+    cfg = _flagship()
+    cfg.model.transformer.encoder_layer = 1
+    cfg.model.transformer.decoder_layer = 1
+    b = _example_inputs(B=2, L=32, T=128)
+
+    def run(use_flash):
+        model = FastSpeech2.from_config(cfg, use_flash=use_flash)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(b["speakers"]), jnp.asarray(b["texts"]),
+            jnp.asarray(b["src_lens"]), 128,
+            d_targets=jnp.asarray(b["durations"]),
+            accents=jnp.asarray(b["accents"]),
+            speaker_meta=jnp.asarray(b["speaker_meta"]),
+        )
+        out = model.apply(
+            variables, jnp.asarray(b["speakers"]), jnp.asarray(b["texts"]),
+            jnp.asarray(b["src_lens"]), 128,
+            d_targets=jnp.asarray(b["durations"]),
+            accents=jnp.asarray(b["accents"]),
+            speaker_meta=jnp.asarray(b["speaker_meta"]),
+        )
+        return np.asarray(out.postnet_mel)
+
+    np.testing.assert_allclose(run(True), run(False), atol=5e-5)
