@@ -76,10 +76,11 @@ def main(argv=None):
             print("Phoneme Sequence: {}".format(phones))
             ids = text_to_sequence(phones)
         else:
+            from ..text import pinyin_to_sequence
             from ..text.g2p import preprocess_mandarin
 
             phones = preprocess_mandarin(args.text, "lexicon/pinyin-lexicon-r.txt")
-            ids = text_to_sequence(phones)
+            ids = pinyin_to_sequence(phones)
 
     L = round_up(len(ids), 16)
     texts = np.zeros((1, L), np.int32)

@@ -33,6 +33,21 @@ def text_to_sequence(phones: Iterable[str]) -> List[int]:
     return seq
 
 
+def pinyin_to_sequence(phones: Iterable[str]) -> List[int]:
+    """Pinyin phone list -> ids via the '@'-prefixed table entries.
+
+    Pinyin (like ARPAbet) symbols are stored '@'-prefixed to stay distinct
+    from bare letters (symbols.py:74-75), so a tone-bearing phone like 'i3'
+    only exists as '@i3'. This reproduces the upstream-FastSpeech2 braces
+    semantics (`_arpabet_to_sequence`, reference text/__init__.py:68-69);
+    the reference's own mandarin CLI path is unrunnable — synthesize.py:89
+    calls text_to_sequence(phones, cleaners) against the one-arg signature
+    (text/__init__.py:15), a vestigial TypeError — so the working upstream
+    semantics is implemented instead.
+    """
+    return [symbol_to_id["@" + p] for p in phones]
+
+
 def phone_string_to_sequence(text: str) -> List[int]:
     """'{a b c}'-style metadata phone string -> ids.
 
