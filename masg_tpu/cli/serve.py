@@ -1,0 +1,221 @@
+"""HTTP synthesis server over the pre-compiled ServingEngine.
+
+No reference counterpart — the reference's inference surface is one-shot CLI
+scripts (synthesize.py:104-131); this is the production-serving face of the
+same pipeline: compile every (text-bucket, mel-cap) graph up front, then each
+request is one device dispatch.
+
+    python -m masg_tpu.cli.serve -c <config_dir> -r <step> [--port 8000]
+
+Endpoints:
+  GET  /health      -> {"status": "ok", "buckets": {...}, "requests": N}
+  POST /synthesize  -> audio/wav (RIFF, 16-bit PCM)
+      JSON body: {"phones": "{k o N n i ch i w a}",  # or "text" + "language"
+                  "accents": "0[0000]00",             # optional
+                  "speaker_id": 0,                    # or "speaker_emb": [..]
+                  "pitch_control": 1.0, "energy_control": 1.0,
+                  "duration_control": 1.0}
+      with "format": "json" instead returns {"mel_len", "latency_s",
+      "sample_rate", "bucket", "wav_b64"}.
+
+Concurrency: ThreadingHTTPServer handles sockets concurrently; device work is
+serialized inside the engine (one chip, one queue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import sys
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+def wav_bytes(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono PCM -> RIFF/WAVE bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(pcm, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def request_to_ids(req: dict):
+    """Request JSON -> (phone ids, accent ids or None)."""
+    from ..text import ACCENT_TO_ID, phone_string_to_sequence, text_to_sequence
+
+    accent_ids = None
+    if "phones" in req:
+        ids = phone_string_to_sequence(req["phones"])
+        if req.get("accents"):
+            accent_ids = [ACCENT_TO_ID[c] for c in req["accents"]][: len(ids)]
+    elif "text" in req:
+        lang = req.get("language", "ja")
+        if lang == "ja":
+            from ..text.g2p import preprocess_japanese
+
+            phones, accents = preprocess_japanese(req["text"])
+            ids = text_to_sequence(phones)
+            if req.get("use_accent"):
+                accent_ids = [ACCENT_TO_ID[c] for c in accents][: len(ids)]
+        elif lang == "en":
+            from ..text.g2p import preprocess_english
+
+            ids = text_to_sequence(preprocess_english(req["text"]))
+        else:
+            from ..text import pinyin_to_sequence
+            from ..text.g2p import preprocess_mandarin
+
+            ids = pinyin_to_sequence(
+                preprocess_mandarin(req["text"], "lexicon/pinyin-lexicon-r.txt")
+            )
+    else:
+        raise ValueError("request needs 'phones' or 'text'")
+    return ids, accent_ids
+
+
+class SynthesisHandler(BaseHTTPRequestHandler):
+    engine = None  # set by make_server
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _json(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/health":
+            e = self.engine
+            self._json(200, {
+                "status": "ok",
+                "buckets": {str(L): e.mel_caps[L] for L in e.text_buckets},
+                "sample_rate": e.sample_rate,
+                "requests": e.n_requests,
+            })
+        else:
+            self._json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/synthesize":
+            self._json(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            ids, accent_ids = request_to_ids(req)
+            emb = req.get("speaker_emb")
+            result = self.engine.synthesize(
+                ids,
+                accent_ids=accent_ids,
+                speaker_id=int(req.get("speaker_id", 0)),
+                speaker_emb=np.asarray([emb], np.float32) if emb is not None else None,
+                pitch_control=float(req.get("pitch_control", 1.0)),
+                energy_control=float(req.get("energy_control", 1.0)),
+                duration_control=float(req.get("duration_control", 1.0)),
+            )
+        except ValueError as e:
+            self._json(400, {"error": str(e)})
+            return
+        except Exception as e:  # surface the cause, don't kill the worker
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+
+        if "wav" not in result:
+            self._json(200, {
+                "mel_len": result["mel_len"],
+                "latency_s": result["latency_s"],
+                "bucket": result["bucket"],
+                "mel_b64": base64.b64encode(
+                    result["mel"].astype(np.float32).tobytes()).decode(),
+            })
+        elif req.get("format") == "json":
+            self._json(200, {
+                "mel_len": result["mel_len"],
+                "latency_s": result["latency_s"],
+                "sample_rate": result["sample_rate"],
+                "bucket": result["bucket"],
+                "wav_b64": base64.b64encode(
+                    wav_bytes(result["wav"], result["sample_rate"])).decode(),
+            })
+        else:
+            body = wav_bytes(result["wav"], result["sample_rate"])
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Latency-S", f"{result['latency_s']:.4f}")
+            self.send_header("X-Mel-Len", str(result["mel_len"]))
+            self.end_headers()
+            self.wfile.write(body)
+
+
+def make_server(engine, host: str = "127.0.0.1", port: int = 8000
+                ) -> ThreadingHTTPServer:
+    """Bind (port 0 = ephemeral) and return the server; caller runs
+    serve_forever(). Split from main() so tests can drive it in-process."""
+    handler = type("BoundHandler", (SynthesisHandler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("-r", "--restore_step", type=int, default=0)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--buckets", default="16,32,64,128",
+                        help="comma-separated text-length bucket ladder")
+    parser.add_argument("--frames_per_phone", type=int, default=12)
+    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--no_vocoder", action="store_true",
+                        help="serve mels only (skip HiFi-GAN)")
+    parser.add_argument("--vocoder_checkpoint", default=None)
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..core.cache import enable_compilation_cache
+    from ..core.config import load_config_dir
+    from ..infer.serving import ServingEngine
+    from ..infer.vocoder import get_vocoder
+
+    enable_compilation_cache()
+    cfg = load_config_dir(args.config)
+    vocoder = None
+    if not args.no_vocoder:
+        vocoder = get_vocoder(cfg.model, cfg.config_dir,
+                              checkpoint=args.vocoder_checkpoint)
+    engine = ServingEngine(
+        cfg,
+        restore_step=args.restore_step,
+        vocoder=vocoder,
+        text_buckets=tuple(int(b) for b in args.buckets.split(",")),
+        frames_per_phone=args.frames_per_phone,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    print("warming up buckets...", flush=True)
+    for L, dt in engine.warmup(include_speaker_emb=True).items():
+        print(f"  bucket L={L} (T={engine.mel_caps[L]}): {dt:.1f}s", flush=True)
+
+    server = make_server(engine, args.host, args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,8 @@ class Trainer:
         if ganlike:
             from .step import make_ganlike_train_step
 
+            # donate the incoming TrainState: params/opt-state buffers are
+            # reused in place, halving their transient HBM footprint
             self.train_step_fn = jax.jit(
                 make_ganlike_train_step(
                     model,
@@ -100,7 +102,8 @@ class Trainer:
                     use_speaker_prior=cfg.model.multi_speaker,
                     lambd=t.lambda_,
                     total_step=self.total_step,
-                )
+                ),
+                donate_argnums=(0,),
             )
         else:
             self.train_step_fn = jax.jit(
@@ -115,7 +118,8 @@ class Trainer:
                     discriminator_params=discriminator_params,
                     lambd=t.lambda_,
                     total_step=self.total_step,
-                )
+                ),
+                donate_argnums=(0,),
             )
         self.eval_step_fn = jax.jit(
             make_eval_step(

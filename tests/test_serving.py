@@ -1,0 +1,186 @@
+"""Serving subsystem: bucketed pre-compiled engine + HTTP server.
+
+Uses a tiny model with the duration-predictor output bias nudged to ln(5)
+(same trick as bench.py) so an untrained model free-runs at a realistic
+~4 frames/phone instead of the zero-duration quirk.
+"""
+
+import json
+import math
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_fastspeech2 import tiny_config
+
+
+def _biased_variables(model, cfg, L=16):
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros(1, jnp.int32), jnp.ones((1, L), jnp.int32),
+        jnp.asarray([L], jnp.int32), 64,
+        accents=jnp.zeros((1, L), jnp.int32),
+        speaker_meta=jnp.zeros((1, cfg.preprocess.speaker_generation.one_hot_dim)),
+    )
+
+    def set_bias(path, x):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if ("duration_predictor" in keys and "linear_layer" in keys
+                and keys[-1] == "bias"):
+            return x + np.asarray(math.log(5.0), x.dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(set_bias, variables)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from masg_tpu.infer.serving import ServingEngine
+    from masg_tpu.infer.vocoder import Vocoder
+    from masg_tpu.models import FastSpeech2
+    from masg_tpu.models.hifigan import HiFiGANGenerator
+
+    cfg = tiny_config()
+    model = FastSpeech2.from_config(cfg)
+    variables = _biased_variables(model, cfg)
+
+    # small vocoder for CPU test speed; architecture identical
+    gen = HiFiGANGenerator(upsample_initial_channel=32)
+    voc_params = gen.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 8, 80)))["params"]
+    voc = Vocoder(gen, voc_params)
+
+    return ServingEngine(
+        cfg, variables=variables, vocoder=voc,
+        text_buckets=(16, 32), frames_per_phone=8,
+    )
+
+
+def test_pick_bucket():
+    from masg_tpu.infer.serving import pick_bucket
+
+    assert pick_bucket(9, (16, 32)) == 16
+    assert pick_bucket(16, (16, 32)) == 16
+    assert pick_bucket(17, (16, 32)) == 32
+    with pytest.raises(ValueError, match="exceeds"):
+        pick_bucket(33, (16, 32))
+
+
+def test_engine_synthesize_wav(engine):
+    r = engine.synthesize([5, 6, 7, 8, 9, 10, 11, 12, 13])
+    assert r["bucket"] == 16
+    assert r["mel_len"] > 0
+    # free-running ~4 frames/phone after round(exp(log5)-1)
+    assert 9 <= r["mel_len"] <= 16 * 8
+    assert r["wav"].dtype == np.int16
+    assert r["wav"].shape == (r["mel_len"] * 256,)
+    assert r["sample_rate"] == 22050
+
+
+def test_engine_controls_and_determinism(engine):
+    ids = list(range(5, 14))
+    a = engine.synthesize(ids)
+    b = engine.synthesize(ids)
+    assert a["mel_len"] == b["mel_len"]
+    assert np.array_equal(a["wav"], b["wav"])
+    # duration_control scales the predicted durations (shrink, since the
+    # untrained predictor's output already saturates the bucket's mel cap)
+    fast = engine.synthesize(ids, duration_control=0.05)
+    assert 0 < fast["mel_len"] < a["mel_len"]
+    # controls/speakers are traced dynamically: no recompile per request
+    assert engine._fns[16]._cache_size() == 1
+
+
+def test_engine_speaker_emb_path(engine):
+    emb_dim = engine.cfg.model.transformer.encoder_hidden
+    r = engine.synthesize(
+        [5, 6, 7, 8], speaker_emb=np.zeros((1, emb_dim), np.float32)
+    )
+    assert r["mel_len"] > 0 and r["wav"].size == r["mel_len"] * 256
+
+
+def test_engine_rejects_oversize(engine):
+    with pytest.raises(ValueError, match="exceeds"):
+        engine.synthesize(list(range(1, 40)))
+
+
+def test_mel_only_engine():
+    from masg_tpu.infer.serving import ServingEngine
+    from masg_tpu.models import FastSpeech2
+
+    cfg = tiny_config()
+    model = FastSpeech2.from_config(cfg)
+    eng = ServingEngine(
+        cfg, variables=_biased_variables(model, cfg),
+        vocoder=None, text_buckets=(16,), frames_per_phone=8,
+    )
+    r = eng.synthesize([5, 6, 7])
+    assert "wav" not in r
+    assert r["mel"].shape == (r["mel_len"], 80)
+    assert np.isfinite(r["mel"]).all()
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    from masg_tpu.cli.serve import make_server
+
+    srv = make_server(engine, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/synthesize", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        resp = urllib.request.urlopen(req, timeout=120)
+        return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def test_http_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["buckets"]["16"] == 128  # round_up(16*8, 128)
+
+
+def test_http_synthesize_wav(server):
+    import io
+    import wave
+
+    code, headers, body = _post(server, {"phones": "{a i u e o a i u e o}"})
+    assert code == 200
+    assert headers["Content-Type"] == "audio/wav"
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getframerate() == 22050
+        assert w.getnchannels() == 1
+        assert w.getnframes() > 0
+    assert int(headers["X-Mel-Len"]) * 256 == w.getnframes()
+
+
+def test_http_synthesize_json(server):
+    code, _, body = _post(
+        server, {"phones": "{a i u}", "format": "json", "speaker_id": 1}
+    )
+    assert code == 200
+    r = json.loads(body)
+    assert r["mel_len"] > 0 and r["wav_b64"]
+
+
+def test_http_bad_request(server):
+    code, _, body = _post(server, {"nonsense": True})
+    assert code == 400
+    assert "phones" in json.loads(body)["error"]
+
+    code, _, _ = _post(server, {"phones": "{" + " ".join(["a"] * 40) + "}"})
+    assert code == 400
