@@ -118,8 +118,10 @@ def bench_e2e_and_text2mel(model, voc, fs2_vars, voc_vars, b, T_mel):
     return rtf, frames_per_s
 
 
-def bench_train_step(cfg, example_inputs):
-    """Full jitted train step (35M config, f32, bs 16): steps/s."""
+def bench_train_step(cfg, example_inputs, dtype=None):
+    """Full jitted train step (35M config, bs 16): steps/s.
+    dtype=None -> f32 (reference precision); bfloat16 -> the mixed-precision
+    recipe (bf16 compute, f32 params; tests/test_train_step.py parity)."""
     import jax
     import jax.numpy as jnp
 
@@ -128,7 +130,7 @@ def bench_train_step(cfg, example_inputs):
     from masg_tpu.train.state import create_train_state
     from masg_tpu.train.step import make_train_step
 
-    model = FastSpeech2.from_config(cfg)
+    model = FastSpeech2.from_config(cfg, dtype=dtype or jnp.float32)
     b = example_inputs(B=16, L=128, T=896)
     T = b["mels"].shape[1]
     batch = {k: jnp.asarray(v) for k, v in b.items()}
@@ -219,6 +221,7 @@ def main():
 
     rtf, frames_per_s = bench_e2e_and_text2mel(model, voc, fs2_vars, voc_vars, b, T_mel)
     steps_per_s = bench_train_step(cfg, _example_inputs)
+    steps_per_s_bf16 = bench_train_step(cfg, _example_inputs, dtype=jnp.bfloat16)
     attn_xla_ms, attn_flash_ms = bench_attention(T=1000)
     attn_xla_4k, attn_flash_4k = bench_attention(T=4000, iters=20)
 
@@ -230,6 +233,7 @@ def main():
         "extra": {
             "text2mel_frames_per_s": round(frames_per_s),
             "train_steps_per_s": round(steps_per_s, 2),
+            "train_steps_per_s_bf16": round(steps_per_s_bf16, 2),
             "attn_xla_ms_T1000": round(attn_xla_ms, 3),
             "attn_flash_ms_T1000": round(attn_flash_ms, 3),
             "attn_winner_T1000": "flash" if attn_flash_ms < attn_xla_ms else "xla",

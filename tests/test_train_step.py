@@ -187,3 +187,41 @@ def test_build_experiment_probe_survives_large_batch(tmp_path):
     cfg.train.optimizer.batch_size = 16  # larger than the dataset slice
     trainer = build_experiment(cfg)
     assert trainer.state is not None
+
+
+def test_bf16_train_step_matches_f32():
+    """--bf16 recipe (bfloat16 compute, float32 params): losses stay finite,
+    params stay f32, and a short overfit run tracks the f32 trajectory."""
+    cfg = tiny_config()
+    cfg.train.optimizer.warm_up_step = 50
+    rng = np.random.default_rng(0)
+    b = make_batch(rng)
+
+    def run(dtype, steps=30):
+        model = FastSpeech2.from_config(cfg, dtype=dtype)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            b["speakers"], b["texts"], b["src_lens"], b["max_mel_len"],
+            mel_lens=b["mel_lens"], p_targets=b["p_targets"],
+            e_targets=b["e_targets"], d_targets=b["d_targets"],
+            accents=b["accents"], speaker_meta=b["speaker_meta"],
+        )
+        tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+        state = create_train_state(model, variables, tx)
+        # params are created f32 regardless of compute dtype
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.dtype == jnp.float32
+        step_fn = jax.jit(make_train_step(model))
+        eval_fn = jax.jit(make_eval_step(model))
+        key = jax.random.PRNGKey(0)
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, to_step_batch(b), sub)
+        after, _, _ = eval_fn(state, to_step_batch(b))
+        return float(after.total)
+
+    f32 = run(jnp.float32)
+    bf16 = run(jnp.bfloat16)
+    assert np.isfinite(bf16)
+    # same trajectory within mixed-precision noise
+    assert abs(bf16 - f32) / abs(f32) < 0.25, (f32, bf16)
