@@ -41,18 +41,10 @@ N_ITERS = 10
 
 
 def _with_duration_bias(fs2_vars, value: float):
-    """Return vars with the duration predictor's output bias set to `value`
-    (log-duration space), so a fresh model free-runs at a realistic rate."""
-    import jax
+    """Shared helper: masg_tpu.infer.serving.with_duration_bias."""
+    from masg_tpu.infer.serving import with_duration_bias
 
-    def set_bias(path, x):
-        keys = [str(getattr(k, "key", k)) for k in path]
-        if ("duration_predictor" in keys and "linear_layer" in keys
-                and keys[-1] == "bias"):
-            return x + np.asarray(value, x.dtype)
-        return x
-
-    return jax.tree_util.tree_map_with_path(set_bias, fs2_vars)
+    return with_duration_bias(fs2_vars, value)
 
 
 def bench_e2e_and_text2mel(model, voc, fs2_vars, voc_vars, b, T_mel):
@@ -99,21 +91,24 @@ def bench_e2e_and_text2mel(model, voc, fs2_vars, voc_vars, b, T_mel):
             0, N_ITERS, body, (jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32))
         )
 
-    acc, frames = e2e_loop(fs2_vars, voc_vars)
-    _ = np.asarray(acc)  # compile + true barrier (host fetch)
-    t0 = time.perf_counter()
-    acc, frames = e2e_loop(fs2_vars, voc_vars)
-    total_frames = int(np.asarray(frames))
-    dt = time.perf_counter() - t0
+    def best_of(loop_fn, *args, n=3):
+        """Best (min) wall time over n timed runs after a warmup run — the
+        tunnel adds multi-ms scheduling jitter that only shows as slowdown."""
+        acc, frames = loop_fn(*args)
+        _ = np.asarray(acc)  # compile + true barrier (host fetch)
+        best = float("inf")
+        for _i in range(n):
+            t0 = time.perf_counter()
+            acc, frames = loop_fn(*args)
+            total_frames = int(np.asarray(frames))
+            best = min(best, time.perf_counter() - t0)
+        return total_frames, best
+
+    total_frames, dt = best_of(e2e_loop, fs2_vars, voc_vars)
     assert total_frames > 0, "free-running path produced zero frames"
     rtf = (total_frames * HOP / SAMPLE_RATE) / dt
 
-    acc, frames = mel_loop(fs2_vars)
-    _ = np.asarray(acc)
-    t0 = time.perf_counter()
-    acc, frames = mel_loop(fs2_vars)
-    total_frames = int(np.asarray(frames))
-    dt = time.perf_counter() - t0
+    total_frames, dt = best_of(mel_loop, fs2_vars)
     frames_per_s = total_frames / dt
     return rtf, frames_per_s
 
@@ -157,10 +152,12 @@ def bench_train_step(cfg, example_inputs, dtype=None):
     rng = jax.random.PRNGKey(1)
     out = loop(state, rng)
     _ = np.asarray(out.step)  # compile + barrier
-    t0 = time.perf_counter()
-    out = loop(out, rng)
-    _ = np.asarray(out.step)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _i in range(3):  # best-of-3: tunnel jitter only slows, never speeds
+        t0 = time.perf_counter()
+        out = loop(out, rng)
+        _ = np.asarray(out.step)
+        dt = min(dt, time.perf_counter() - t0)
     return N_STEPS / dt
 
 
@@ -187,9 +184,12 @@ def bench_attention(T=1000, B=8, H=2, Dh=128, iters=30):
             return jax.lax.fori_loop(0, iters, body, jnp.asarray(0.0, jnp.float32))
 
         _ = np.asarray(loop(q, k, v))
-        t0 = time.perf_counter()
-        _ = np.asarray(loop(q, k, v))
-        return (time.perf_counter() - t0) / iters * 1e3  # ms per call
+        best = float("inf")
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(q, k, v))
+            best = min(best, time.perf_counter() - t0)
+        return best / iters * 1e3  # ms per call
 
     t_xla = timed(lambda q, k, v: mha_attention(q, k, v, pad))
     t_flash = timed(lambda q, k, v: flash_attention(q, k, v, lens))
@@ -199,6 +199,10 @@ def bench_attention(T=1000, B=8, H=2, Dh=128, iters=30):
 def main():
     import jax
     import jax.numpy as jnp
+
+    from masg_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # ~20 min of Mosaic/XLA compiles on cold runs
 
     from __graft_entry__ import _example_inputs, _flagship
     from masg_tpu.models import FastSpeech2

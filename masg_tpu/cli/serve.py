@@ -53,9 +53,12 @@ def request_to_ids(req: dict):
 
     accent_ids = None
     if "phones" in req:
-        ids = phone_string_to_sequence(req["phones"])
-        if req.get("accents"):
-            accent_ids = [ACCENT_TO_ID[c] for c in req["accents"]][: len(ids)]
+        try:
+            ids = phone_string_to_sequence(req["phones"])
+            if req.get("accents"):
+                accent_ids = [ACCENT_TO_ID[c] for c in req["accents"]][: len(ids)]
+        except KeyError as e:  # unknown phone/accent symbol = client error -> 400
+            raise ValueError(f"unknown symbol in request: {e}") from e
     elif "text" in req:
         lang = req.get("language", "ja")
         if lang == "ja":
@@ -134,12 +137,14 @@ class SynthesisHandler(BaseHTTPRequestHandler):
             return
 
         if "wav" not in result:
+            mel = result["mel"].astype(np.float32)
             self._json(200, {
                 "mel_len": result["mel_len"],
                 "latency_s": result["latency_s"],
+                "sample_rate": result["sample_rate"],
                 "bucket": result["bucket"],
-                "mel_b64": base64.b64encode(
-                    result["mel"].astype(np.float32).tobytes()).decode(),
+                "n_mels": int(mel.shape[-1]),
+                "mel_b64": base64.b64encode(mel.tobytes()).decode(),
             })
         elif req.get("format") == "json":
             self._json(200, {

@@ -33,6 +33,23 @@ from .synthesis import load_model, round_up
 from .vocoder import Vocoder
 
 
+def with_duration_bias(variables, value: float):
+    """Return `variables` with the duration predictor's output bias shifted by
+    `value` (log-duration space). An UNTRAINED model predicts
+    round(exp(0)-1)=0 durations and free-runs to zero frames; value=ln(5)
+    (~4 frames/phone after rounding) makes demos/benchmarks on fresh weights
+    drive the exact trained-model graph at a realistic speech rate."""
+
+    def set_bias(path, x):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if ("duration_predictor" in keys and "linear_layer" in keys
+                and keys[-1] == "bias"):
+            return x + np.asarray(value, x.dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(set_bias, variables)
+
+
 def pick_bucket(n: int, buckets: Sequence[int]) -> int:
     """Smallest bucket >= n; raises if the request exceeds the ladder."""
     for b in buckets:
@@ -212,8 +229,8 @@ class ServingEngine:
             )
             mel_len = int(np.asarray(mel_len)[0])
             out = np.asarray(out[0], np.float32)
+            self.n_requests += 1  # guarded: int += is not atomic across threads
         latency = time.perf_counter() - t0
-        self.n_requests += 1
 
         result = {
             "mel_len": mel_len,

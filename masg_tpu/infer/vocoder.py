@@ -63,6 +63,11 @@ def get_vocoder(
     missing large blobs, so none are available in-tree either).
     """
     name = model_config.vocoder.model
+    if checkpoint and not os.path.exists(checkpoint):
+        # a requested-but-missing checkpoint must NOT silently random-init:
+        # the server would warm up and serve pure-noise audio with no signal
+        # that the weights never loaded
+        raise FileNotFoundError(f"vocoder checkpoint not found: {checkpoint}")
     if name == "MelGAN":
         # reference pulls this from torch.hub (utils/model.py:46-56); here a
         # LOCAL descript-MelGAN torch checkpoint converts to the first-party

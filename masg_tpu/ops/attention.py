@@ -139,6 +139,12 @@ def flash_attention(
     import math as _math
 
     b, h, t, dh = q.shape
+    # clamp blocks to the power-of-two-of-128 cover of T: the long-T tuned
+    # defaults (512, 256) would otherwise pad an L=128 encoder sequence to
+    # 512 rows and run ~8x the needed work
+    t_cover = 128 * (1 << max(0, (-(-t // 128) - 1).bit_length()))
+    block_q = min(block_q, t_cover)
+    block_k = min(block_k, t_cover)
     # pad T to a multiple of BOTH block sizes so no key block is dropped
     block_lcm = _math.lcm(block_q, block_k)
     t_pad = block_lcm * -(-t // block_lcm)

@@ -68,8 +68,9 @@ def decode_octal_escapes(s: str) -> str:
     prepare_tg_hts.py:58-74 decodes them inside its openjtalk2julius)."""
     out = bytearray()
     i = 0
+    octal = set("01234567")
     while i < len(s):
-        if s[i] == "\\" and i + 3 < len(s) + 1 and s[i + 1: i + 4].isdigit():
+        if s[i] == "\\" and i + 4 <= len(s) and set(s[i + 1: i + 4]) <= octal:
             out.append(int(s[i + 1: i + 4], 8))
             i += 4
         else:

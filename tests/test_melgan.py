@@ -123,3 +123,16 @@ def test_get_vocoder_melgan_local_checkpoint(tmp_path):
     ref_int16 = (ref_wav.squeeze(1).numpy() * 32768.0).astype(np.int16)
     # int16 quantization: allow +-1 lsb
     assert np.max(np.abs(wavs[0].astype(np.int32) - ref_int16[0].astype(np.int32))) <= 1
+
+
+def test_get_vocoder_missing_checkpoint_raises(tmp_path):
+    """A requested-but-missing checkpoint path must error loudly, never
+    silently random-init (a serving deployment would emit pure noise)."""
+    from types import SimpleNamespace
+
+    from masg_tpu.infer.vocoder import get_vocoder
+
+    for name in ("MelGAN", "HiFi-GAN"):
+        cfg = SimpleNamespace(vocoder=SimpleNamespace(model=name, speaker="universal"))
+        with pytest.raises(FileNotFoundError, match="not found"):
+            get_vocoder(cfg, checkpoint=str(tmp_path / "nope.pt"))

@@ -98,7 +98,9 @@ def test_sharded_checkpoint_resume(corpus):
     tmp, pre = corpus
     from masg_tpu.cli.train import main as train_main
 
-    run8 = os.path.join(tmp, "mesh8")
+    run8, cfg8 = _experiment(tmp, pre, "mesh8")  # reuses the dp run if present
+    if not os.path.exists(os.path.join(run8, "out/log/train/log.txt")):
+        train_main(["-c", cfg8, "--max_steps", "6"])
     full = _losses(os.path.join(run8, "out/log/train/log.txt"))
 
     runr, cfgr = _experiment(tmp, pre, "resume")

@@ -19,6 +19,8 @@ from test_fastspeech2 import tiny_config
 
 
 def _biased_variables(model, cfg, L=16):
+    from masg_tpu.infer.serving import with_duration_bias
+
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros(1, jnp.int32), jnp.ones((1, L), jnp.int32),
@@ -26,15 +28,7 @@ def _biased_variables(model, cfg, L=16):
         accents=jnp.zeros((1, L), jnp.int32),
         speaker_meta=jnp.zeros((1, cfg.preprocess.speaker_generation.one_hot_dim)),
     )
-
-    def set_bias(path, x):
-        keys = [str(getattr(k, "key", k)) for k in path]
-        if ("duration_predictor" in keys and "linear_layer" in keys
-                and keys[-1] == "bias"):
-            return x + np.asarray(math.log(5.0), x.dtype)
-        return x
-
-    return jax.tree_util.tree_map_with_path(set_bias, variables)
+    return with_duration_bias(variables, math.log(5.0))
 
 
 @pytest.fixture(scope="module")
@@ -184,3 +178,40 @@ def test_http_bad_request(server):
 
     code, _, _ = _post(server, {"phones": "{" + " ".join(["a"] * 40) + "}"})
     assert code == 400
+
+    # unknown accent char / phone symbol = client error, not a 500
+    code, _, body = _post(server, {"phones": "{a i}", "accents": "zz"})
+    assert code == 400
+    assert "unknown symbol" in json.loads(body)["error"]
+    code, _, _ = _post(server, {"phones": "{a notaphone}"})
+    assert code == 400
+
+
+def test_http_mel_only_response_metadata():
+    """A --no_vocoder server's JSON carries sample_rate + n_mels so clients
+    can reshape/resynthesize without hard-coding the feature schema."""
+    from masg_tpu.cli.serve import make_server
+    from masg_tpu.infer.serving import ServingEngine
+    from masg_tpu.models import FastSpeech2
+
+    cfg = tiny_config()
+    model = FastSpeech2.from_config(cfg)
+    eng = ServingEngine(
+        cfg, variables=_biased_variables(model, cfg),
+        vocoder=None, text_buckets=(16,), frames_per_phone=8,
+    )
+    srv = make_server(eng, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        code, _, body = _post(url, {"phones": "{a i u}"})
+        assert code == 200
+        r = json.loads(body)
+        assert r["sample_rate"] == 22050 and r["n_mels"] == 80
+        import base64
+
+        mel = np.frombuffer(base64.b64decode(r["mel_b64"]), np.float32)
+        assert mel.size == r["mel_len"] * r["n_mels"]
+    finally:
+        srv.shutdown()
