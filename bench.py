@@ -138,7 +138,8 @@ def bench_train_step(cfg, example_inputs, dtype=None):
     )
     tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
     state = create_train_state(model, variables, tx)
-    step_fn = make_train_step(model)
+    # rbg dropout RNG = the production trainer default (train/loop.py)
+    step_fn = make_train_step(model, rng_impl="rbg")
 
     N_STEPS = 20
 
@@ -149,7 +150,7 @@ def bench_train_step(cfg, example_inputs, dtype=None):
             return s2
         return jax.lax.fori_loop(0, N_STEPS, body, state)
 
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.key(1, impl="rbg")
     out = loop(state, rng)
     _ = np.asarray(out.step)  # compile + barrier
     dt = float("inf")

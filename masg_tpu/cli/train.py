@@ -32,6 +32,10 @@ def main(argv=None):
                         help="tensor-parallel axis size of the (data, model) mesh")
     parser.add_argument("--flash", action="store_true",
                         help="Pallas flash attention in the FFT blocks (TPU only)")
+    parser.add_argument("--rng_impl", default="rbg",
+                        choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                        help="dropout PRNG: rbg drives the TPU hardware "
+                             "generator (+12%% step rate vs threefry)")
     parser.add_argument("--multihost", action="store_true",
                         help="jax.distributed.initialize before device use "
                              "(coordinator via MASG_COORDINATOR / "
@@ -63,6 +67,7 @@ def main(argv=None):
         n_devices=args.n_devices,
         n_model=args.n_model,
         use_flash=args.flash,
+        rng_impl=args.rng_impl,
     )
     print(f"mesh: {dict(trainer.mesh.shape)}")
     n_params = sum(

