@@ -107,6 +107,7 @@ class SynthesisHandler(BaseHTTPRequestHandler):
                 "buckets": {str(L): e.mel_caps[L] for L in e.text_buckets},
                 "sample_rate": e.sample_rate,
                 "requests": e.n_requests,
+                "batches": getattr(e, "n_batches", 0),
             })
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
@@ -187,6 +188,11 @@ def main(argv=None):
     parser.add_argument("--no_vocoder", action="store_true",
                         help="serve mels only (skip HiFi-GAN)")
     parser.add_argument("--vocoder_checkpoint", default=None)
+    parser.add_argument("--dynamic_batch", type=int, default=1,
+                        help=">1: fuse concurrent requests into one batched "
+                             "device dispatch (DynamicBatcher)")
+    parser.add_argument("--batch_window_ms", type=float, default=5.0,
+                        help="arrival window for request fusion")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -210,9 +216,19 @@ def main(argv=None):
         frames_per_phone=args.frames_per_phone,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
+    batch_ladder = [1]
+    while batch_ladder[-1] < args.dynamic_batch:
+        batch_ladder.append(batch_ladder[-1] * 2)
     print("warming up buckets...", flush=True)
-    for L, dt in engine.warmup(include_speaker_emb=True).items():
-        print(f"  bucket L={L} (T={engine.mel_caps[L]}): {dt:.1f}s", flush=True)
+    for (B, L), dt in engine.warmup(include_speaker_emb=True,
+                                    batch_sizes=tuple(batch_ladder)).items():
+        print(f"  bucket B={B} L={L} (T={engine.mel_caps[L]}): {dt:.1f}s",
+              flush=True)
+    if args.dynamic_batch > 1:
+        from ..infer.serving import DynamicBatcher
+
+        engine = DynamicBatcher(engine, max_batch=args.dynamic_batch,
+                                window_ms=args.batch_window_ms)
 
     server = make_server(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]}", flush=True)

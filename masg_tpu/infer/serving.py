@@ -109,13 +109,16 @@ class ServingEngine:
         }
         self._lock = threading.Lock()
         self.n_requests = 0
+        self.n_batches = 0  # batched dispatches via synthesize_many
 
     # ------------------------------------------------------------------
     def _build(self, L: int, T: int, from_emb: bool = False):
         model, vocoder = self.model, self.vocoder
 
         def fn(variables, voc_params, texts, src_lens, accents, spk, meta, controls):
-            p_c, e_c, d_c = controls[0], controls[1], controls[2]
+            # (B, 3) per-request controls broadcast as (B, 1) against the
+            # (B, L) predictions — a batched dispatch can mix control values
+            p_c, e_c, d_c = controls[:, 0:1], controls[:, 1:2], controls[:, 2:3]
             if from_emb:
                 out = model.apply(
                     variables, texts, src_lens, T, spk,
@@ -137,23 +140,32 @@ class ServingEngine:
 
         return jax.jit(fn)
 
-    def warmup(self, include_speaker_emb: bool = False) -> Dict[int, float]:
-        """Compile every bucket; returns per-bucket compile seconds."""
-        times: Dict[int, float] = {}
+    def warmup(self, include_speaker_emb: bool = False,
+               batch_sizes: Sequence[int] = (1,)) -> Dict[Tuple[int, int], float]:
+        """Compile every (batch, text) bucket; returns compile seconds keyed
+        (B, L). Pass the dynamic-batching ladder (e.g. (1, 2, 4, 8)) so no
+        request ever pays a compile."""
+        times: Dict[Tuple[int, int], float] = {}
         for L in self.text_buckets:
-            t0 = time.perf_counter()
-            self._run(
-                np.ones((1, L), np.int32), np.asarray([L], np.int32),
-                np.zeros((1, L), np.int32), speaker_id=0,
-            )
+            for B in batch_sizes:
+                t0 = time.perf_counter()
+                out, _ = self._run(
+                    np.ones((B, L), np.int32), np.full(B, L, np.int32),
+                    np.zeros((B, L), np.int32), speaker_id=0,
+                )
+                # host fetch = true execution barrier: dispatch is async, so
+                # without it the FIRST REQUEST would absorb the executable +
+                # params upload to the device (tens of seconds over a relay)
+                _ = np.asarray(out).ravel()[:1]
+                times[(B, L)] = time.perf_counter() - t0
             if include_speaker_emb:
                 emb_dim = self.cfg.model.transformer.encoder_hidden
-                self._run(
+                out, _ = self._run(
                     np.ones((1, L), np.int32), np.asarray([L], np.int32),
                     np.zeros((1, L), np.int32),
                     speaker_emb=np.zeros((1, emb_dim), np.float32),
                 )
-            times[L] = time.perf_counter() - t0
+                _ = np.asarray(out).ravel()[:1]
         return times
 
     # ------------------------------------------------------------------
@@ -169,14 +181,20 @@ class ServingEngine:
     ):
         L = texts.shape[1]
         voc_params = self.vocoder.params if self.vocoder is not None else {}
-        c = jnp.asarray(controls, jnp.float32)
+        c = np.asarray(controls, np.float32)
+        if c.ndim == 1:  # shared controls -> one row per batch item
+            c = np.tile(c, (texts.shape[0], 1))
+        c = jnp.asarray(c)
         if speaker_emb is not None:
             fn = self._emb_fns[L]
             spk = jnp.asarray(speaker_emb, jnp.float32)
             meta = jnp.zeros((texts.shape[0], self.meta_dim), jnp.float32)
         else:
             fn = self._fns[L]
-            spk = jnp.asarray([speaker_id] * texts.shape[0], jnp.int32)
+            spk = np.asarray(speaker_id, np.int32)
+            if spk.ndim == 0:
+                spk = np.full((texts.shape[0],), spk, np.int32)
+            spk = jnp.asarray(spk)
             meta = (
                 jnp.asarray(speaker_meta, jnp.float32)
                 if speaker_meta is not None
@@ -244,3 +262,154 @@ class ServingEngine:
             wav = (out[: mel_len * self.hop] * self.vocoder.max_wav_value)
             result["wav"] = np.clip(wav, -32768, 32767).astype(np.int16)
         return result
+
+    # ------------------------------------------------------------------
+    def synthesize_many(self, requests: List[dict],
+                        batch_buckets: Sequence[int] = (1, 2, 4, 8),
+                        ) -> List[Dict[str, object]]:
+        """Fuse N speaker-id requests into ONE device dispatch.
+
+        Each request is the kwargs of `synthesize` (speaker_emb not
+        supported — those go through the per-request path). All texts pad to
+        the largest needed text bucket; the batch pads to the next batch
+        bucket by replicating row 0 (pad outputs are discarded), so compile
+        count stays len(text_buckets) x len(batch_buckets).
+        """
+        from ..text import NO_ACCENT_ID
+
+        if not requests:
+            return []
+        for r in requests:
+            if r.get("speaker_emb") is not None:
+                raise ValueError("synthesize_many: speaker_emb path not batchable")
+            if not r["ids"]:
+                raise ValueError("empty phone sequence")
+        L = pick_bucket(max(len(r["ids"]) for r in requests), self.text_buckets)
+        n = len(requests)
+        B = pick_bucket(n, batch_buckets)
+
+        texts = np.zeros((B, L), np.int32)
+        acc = np.zeros((B, L), np.int32)
+        src_lens = np.ones(B, np.int32)
+        spk = np.zeros(B, np.int32)
+        meta = np.zeros((B, self.meta_dim), np.float32)
+        controls = np.ones((B, 3), np.float32)
+        for i, r in enumerate(requests):
+            ids = r["ids"]
+            k = len(ids)
+            texts[i, :k] = np.asarray(ids, np.int32)
+            a = r.get("accent_ids")
+            if a is not None:
+                m = min(len(a), k)
+                acc[i, :m] = np.asarray(a[:m], np.int32)
+            else:
+                acc[i, :k] = NO_ACCENT_ID
+            src_lens[i] = k
+            spk[i] = int(r.get("speaker_id", 0))
+            if r.get("speaker_meta") is not None:
+                meta[i] = np.asarray(r["speaker_meta"], np.float32).reshape(-1)
+            controls[i] = (r.get("pitch_control", 1.0),
+                           r.get("energy_control", 1.0),
+                           r.get("duration_control", 1.0))
+        for i in range(n, B):  # pad rows: replicate row 0, discard outputs
+            texts[i], acc[i], src_lens[i] = texts[0], acc[0], src_lens[0]
+            spk[i], meta[i], controls[i] = spk[0], meta[0], controls[0]
+
+        t0 = time.perf_counter()
+        with self._lock:
+            out, mel_len = self._run(texts, src_lens, acc, spk, meta, None,
+                                     controls)
+            mel_len = np.asarray(mel_len)
+            out = np.asarray(out, np.float32)
+            self.n_requests += n
+            self.n_batches += 1
+        latency = time.perf_counter() - t0
+
+        results = []
+        for i in range(n):
+            ml = int(mel_len[i])
+            r = {"mel_len": ml, "sample_rate": self.sample_rate,
+                 "latency_s": latency, "bucket": L, "batch": n}
+            if self.vocoder is None:
+                r["mel"] = out[i, :ml]
+            else:
+                wav = out[i, : ml * self.hop] * self.vocoder.max_wav_value
+                r["wav"] = np.clip(wav, -32768, 32767).astype(np.int16)
+            results.append(r)
+        return results
+
+
+class DynamicBatcher:
+    """Transparent request batcher in front of a ServingEngine.
+
+    Concurrent `synthesize` calls arriving within `window_ms` of each other
+    fuse into one batched device dispatch (up to `max_batch`); a lone request
+    dispatches immediately after the window. The TPU runs one graph either
+    way, so batching multiplies throughput under load at ~window_ms added
+    latency. speaker_emb requests bypass the batcher (un-batchable path).
+    """
+
+    def __init__(self, engine: ServingEngine, max_batch: int = 8,
+                 window_ms: float = 5.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.engine = engine
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self._buckets = [1]
+        while self._buckets[-1] < max_batch:
+            self._buckets.append(self._buckets[-1] * 2)
+        self._queue: List[Tuple[dict, "threading.Event", dict]] = []
+        self._mutex = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._worker = threading.Thread(target=self._drain_loop, daemon=True)
+        self._worker.start()
+
+    def close(self):
+        self._stop = True
+        self._wake.set()
+        self._worker.join(timeout=5)
+
+    def __getattr__(self, name):
+        # passthrough (mel_caps, text_buckets, n_requests, ...) so the HTTP
+        # layer can front either an engine or a batcher
+        return getattr(self.engine, name)
+
+    def synthesize(self, ids, **kwargs) -> Dict[str, object]:
+        if kwargs.get("speaker_emb") is not None:
+            return self.engine.synthesize(ids, **kwargs)
+        req = dict(kwargs, ids=list(ids))
+        done = threading.Event()
+        slot: dict = {}
+        with self._mutex:
+            self._queue.append((req, done, slot))
+        self._wake.set()
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _drain_loop(self):
+        while not self._stop:
+            self._wake.wait()
+            if self._stop:
+                return
+            time.sleep(self.window_s)  # let concurrent arrivals accumulate
+            with self._mutex:
+                batch = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+                if not self._queue:
+                    self._wake.clear()
+            if not batch:
+                continue
+            try:
+                results = self.engine.synthesize_many(
+                    [r for r, _, _ in batch], batch_buckets=tuple(self._buckets))
+                for (_, done, slot), res in zip(batch, results):
+                    slot["result"] = res
+                    done.set()
+            except Exception as e:
+                for _, done, slot in batch:
+                    slot["error"] = e
+                    done.set()

@@ -168,6 +168,26 @@ class Trainer:
         log_path = os.path.join(self.cfg.train.path.log_path, "train")
         os.makedirs(log_path, exist_ok=True)
 
+        # Preemption-safe shutdown (beyond reference parity: crash = rerun
+        # with --restore_step there, SURVEY §5). SIGTERM/SIGINT set a flag;
+        # the loop finishes the in-flight step, saves a checkpoint at the
+        # CURRENT step, and returns — `--restore_step <printed step>` resumes
+        # exactly. Signal handlers only install in the main thread (tests
+        # drive fit() from worker threads: fall back to default handling).
+        preempted = {"flag": False}
+        prev_handlers = {}
+
+        def _on_signal(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            import signal as _signal
+
+            for s in (_signal.SIGTERM, _signal.SIGINT):
+                prev_handlers[s] = _signal.signal(s, _on_signal)
+        except ValueError:
+            pass  # not the main thread
+
         t_start = time.time()
         done = False
         while not done:
@@ -212,6 +232,15 @@ class Trainer:
                     if step % self.save_step == 0:
                         self.ckpt.save(step, self.state)
 
+                    if preempted["flag"]:
+                        if step % self.save_step != 0:  # not already saved above
+                            self.ckpt.save(step, self.state)
+                        if self.is_lead:
+                            print(f"preempted: checkpoint saved at step {step}; "
+                                  f"resume with --restore_step {step}")
+                        done = True
+                        break
+
                     if step >= stop_at:
                         done = True
                         break
@@ -220,6 +249,10 @@ class Trainer:
                     break
             if done:
                 break
+        for s, h in prev_handlers.items():
+            import signal as _signal
+
+            _signal.signal(s, h)
         return self.state
 
     # ------------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""Preemption-safe training shutdown (beyond reference parity, SURVEY §5:
+the reference's only recovery story is rerun with --restore_step).
+
+SIGTERM mid-training must finish the in-flight step, save a checkpoint at
+the current step, print the resume hint, and exit cleanly — then
+--restore_step from that checkpoint must continue training.
+"""
+
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("MASG_SLOW_TESTS") != "1",
+                    reason="subprocess train: cold CPU compile can take "
+                           "~10 min; set MASG_SLOW_TESTS=1 (drive-verified "
+                           "on this image: SIGTERM mid-step -> save at step "
+                           "1 -> --restore_step 1 continues)")
+def test_sigterm_saves_checkpoint_and_resumes(tmp_path):
+    tmp = str(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+
+    build = (
+        "from masg_tpu.data.synthetic import build_synthetic_experiment_dir;"
+        f"print(build_synthetic_experiment_dir({tmp!r}, n_speakers=2,"
+        "utts_per_speaker=6, batch_size=4, group_size=1, total_step=10**6,"
+        "log_step=1, val_step=10**9, synth_step=10**9, save_step=10**9))"
+    )
+    cfg_dir = subprocess.run(
+        [sys.executable, "-c", build], env=env, check=True,
+        capture_output=True, text=True,
+    ).stdout.strip().splitlines()[-1]
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "masg_tpu.cli.train", "-c", cfg_dir],
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    # wait until at least one step has logged, then preempt
+    log_txt = None
+    deadline = time.time() + 900
+    while time.time() < deadline:
+        for root, _, files in os.walk(tmp):
+            if "log.txt" in files:
+                log_txt = os.path.join(root, "log.txt")
+        if log_txt and os.path.exists(log_txt) and open(log_txt).read().count("Step") >= 1:
+            break
+        time.sleep(1.0)
+    assert log_txt, "training never logged a step"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=600)
+    assert proc.returncode == 0, out[-2000:]
+    m = re.search(r"resume with --restore_step (\d+)", out)
+    assert m, out[-2000:]
+    step = int(m.group(1))
+
+    # the checkpoint must restore and continue for a couple more steps
+    resume = subprocess.run(
+        [sys.executable, "-m", "masg_tpu.cli.train", "-c", cfg_dir,
+         "--restore_step", str(step), "--max_steps", "2"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900,
+    )
+    assert resume.returncode == 0, resume.stdout[-2000:] + resume.stderr[-2000:]
+    steps = [int(s) for s in re.findall(r"Step (\d+)/", open(log_txt).read())]
+    assert max(steps) >= step + 2, steps
+    losses = [float(x) for x in re.findall(r"Total Loss: ([\d.]+)",
+                                           open(log_txt).read())]
+    assert np.isfinite(losses).all()

@@ -215,3 +215,51 @@ def test_http_mel_only_response_metadata():
         assert mel.size == r["mel_len"] * r["n_mels"]
     finally:
         srv.shutdown()
+
+
+def test_synthesize_many_matches_single(engine):
+    """One fused dispatch over N requests reproduces the per-request path,
+    including mixed per-request controls in the same batch."""
+    reqs = [
+        {"ids": [5, 6, 7, 8, 9], "speaker_id": 0},
+        {"ids": [10, 11, 12], "speaker_id": 1, "duration_control": 0.05},
+        {"ids": list(range(5, 14)), "speaker_id": 2, "pitch_control": 1.3},
+    ]
+    batched = engine.synthesize_many(reqs)  # n=3 -> pads to batch bucket 4
+    assert all(r["batch"] == 3 for r in batched)
+    for r, b in zip(reqs, batched):
+        kw = {k: v for k, v in r.items() if k != "ids"}
+        single = engine.synthesize(r["ids"], **kw)
+        assert single["mel_len"] == b["mel_len"], (single["mel_len"], b["mel_len"])
+        np.testing.assert_allclose(b["wav"], single["wav"], atol=2)
+
+
+def test_synthesize_many_rejects_emb_path(engine):
+    with pytest.raises(ValueError, match="not batchable"):
+        engine.synthesize_many([{"ids": [5], "speaker_emb": np.zeros((1, 8))}])
+
+
+def test_dynamic_batcher_concurrent_requests(engine):
+    """Concurrent requests fuse into fewer dispatches with identical results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from masg_tpu.infer.serving import DynamicBatcher
+
+    batcher = DynamicBatcher(engine, max_batch=4, window_ms=40.0)
+    try:
+        ids_list = [[5, 6, 7], [8, 9, 10, 11], [12, 13], [5, 9, 13]]
+        singles = [engine.synthesize(ids) for ids in ids_list]
+        req0, batch0 = engine.n_requests, engine.n_batches
+        with ThreadPoolExecutor(4) as pool:
+            got = list(pool.map(batcher.synthesize, ids_list))
+        assert engine.n_requests - req0 == 4
+        n_dispatches = engine.n_batches - batch0
+        assert 1 <= n_dispatches < 4, n_dispatches  # actually batched
+        for s, g in zip(singles, got):
+            assert s["mel_len"] == g["mel_len"]
+            np.testing.assert_allclose(s["wav"], g["wav"], atol=2)
+        # health passthrough fields
+        assert batcher.sample_rate == engine.sample_rate
+        assert batcher.mel_caps == engine.mel_caps
+    finally:
+        batcher.close()
