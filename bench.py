@@ -209,7 +209,9 @@ def main():
     from masg_tpu.models import FastSpeech2
     from masg_tpu.models.hifigan import HiFiGANGenerator
 
-    B, L, T_mel = 8, 128, 640
+    # B=16: throughput-optimal batching (measured: 962x at B=8, 1024x at
+    # B=16, 1042x at B=32 — knee at 16, and it matches the training bs)
+    B, L, T_mel = 16, 128, 640
     cfg = _flagship()
     model = FastSpeech2.from_config(cfg, dtype=jnp.bfloat16)
     voc = HiFiGANGenerator(dtype=jnp.bfloat16)

@@ -216,19 +216,21 @@ def main(argv=None):
         frames_per_phone=args.frames_per_phone,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
-    batch_ladder = [1]
-    while batch_ladder[-1] < args.dynamic_batch:
-        batch_ladder.append(batch_ladder[-1] * 2)
-    print("warming up buckets...", flush=True)
-    for (B, L), dt in engine.warmup(include_speaker_emb=True,
-                                    batch_sizes=tuple(batch_ladder)).items():
-        print(f"  bucket B={B} L={L} (T={engine.mel_caps[L]}): {dt:.1f}s",
-              flush=True)
+    batch_ladder = (1,)
+    batcher = None
     if args.dynamic_batch > 1:
         from ..infer.serving import DynamicBatcher
 
-        engine = DynamicBatcher(engine, max_batch=args.dynamic_batch,
-                                window_ms=args.batch_window_ms)
+        batcher = DynamicBatcher(engine, max_batch=args.dynamic_batch,
+                                 window_ms=args.batch_window_ms)
+        batch_ladder = tuple(batcher._buckets)  # warm the EXACT dispatch shapes
+    print("warming up buckets...", flush=True)
+    for (B, L), dt in engine.warmup(include_speaker_emb=True,
+                                    batch_sizes=batch_ladder).items():
+        print(f"  bucket B={B} L={L} (T={engine.mel_caps[L]}): {dt:.1f}s",
+              flush=True)
+    if batcher is not None:
+        engine = batcher
 
     server = make_server(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]}", flush=True)

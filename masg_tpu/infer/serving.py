@@ -282,7 +282,7 @@ class ServingEngine:
         for r in requests:
             if r.get("speaker_emb") is not None:
                 raise ValueError("synthesize_many: speaker_emb path not batchable")
-            if not r["ids"]:
+            if len(r["ids"]) == 0:  # len(): ids may be a numpy array
                 raise ValueError("empty phone sequence")
         L = pick_bucket(max(len(r["ids"]) for r in requests), self.text_buckets)
         n = len(requests)
@@ -327,7 +327,12 @@ class ServingEngine:
 
         results = []
         for i in range(n):
-            ml = int(mel_len[i])
+            # clamp to the request's OWN bucket cap: co-batched longer texts
+            # raise the graph's T, and without this a saturating request
+            # would return different-length audio than the single path
+            own_cap = self.mel_caps[pick_bucket(len(requests[i]["ids"]),
+                                                self.text_buckets)]
+            ml = min(int(mel_len[i]), own_cap)
             r = {"mel_len": ml, "sample_rate": self.sample_rate,
                  "latency_s": latency, "bucket": L, "batch": n}
             if self.vocoder is None:
@@ -370,6 +375,13 @@ class DynamicBatcher:
         self._stop = True
         self._wake.set()
         self._worker.join(timeout=5)
+        # fail any request that was still queued (or races in after close):
+        # a caller blocked on done.wait() must never hang forever
+        with self._mutex:
+            leftovers, self._queue = self._queue, []
+        for _, done, slot in leftovers:
+            slot["error"] = RuntimeError("DynamicBatcher closed")
+            done.set()
 
     def __getattr__(self, name):
         # passthrough (mel_caps, text_buckets, n_requests, ...) so the HTTP
@@ -379,7 +391,15 @@ class DynamicBatcher:
     def synthesize(self, ids, **kwargs) -> Dict[str, object]:
         if kwargs.get("speaker_emb") is not None:
             return self.engine.synthesize(ids, **kwargs)
-        req = dict(kwargs, ids=list(ids))
+        ids = list(ids)
+        # validate NOW, against this caller only — a bad request raised
+        # inside the worker would otherwise fail every co-batched request
+        if len(ids) == 0:
+            raise ValueError("empty phone sequence")
+        pick_bucket(len(ids), self.engine.text_buckets)  # raises on oversize
+        if self._stop:
+            raise RuntimeError("DynamicBatcher closed")
+        req = dict(kwargs, ids=ids)
         done = threading.Event()
         slot: dict = {}
         with self._mutex:

@@ -172,23 +172,41 @@ class Trainer:
         # with --restore_step there, SURVEY §5). SIGTERM/SIGINT set a flag;
         # the loop finishes the in-flight step, saves a checkpoint at the
         # CURRENT step, and returns — `--restore_step <printed step>` resumes
-        # exactly. Signal handlers only install in the main thread (tests
-        # drive fit() from worker threads: fall back to default handling).
+        # exactly. Handlers install only in the main thread (tests drive
+        # fit() from workers) and only single-process: in --multihost runs a
+        # signal landing on one host at a different step boundary would
+        # strand the others in collectives/the orbax save barrier, so
+        # multi-host preemption must come from the orchestrator (stop all
+        # ranks, resume from the last periodic save_step checkpoint).
         preempted = {"flag": False}
         prev_handlers = {}
 
         def _on_signal(signum, frame):
             preempted["flag"] = True
 
-        try:
-            import signal as _signal
+        if self.single_process:
+            try:
+                import signal as _signal
 
-            for s in (_signal.SIGTERM, _signal.SIGINT):
-                prev_handlers[s] = _signal.signal(s, _on_signal)
-        except ValueError:
-            pass  # not the main thread
+                for s in (_signal.SIGTERM, _signal.SIGINT):
+                    prev_handlers[s] = _signal.signal(s, _on_signal)
+            except ValueError:
+                pass  # not the main thread
 
         t_start = time.time()
+        try:
+            return self._fit_loop(step, stop_at, log_path, t_start, verbose,
+                                  preempted)
+        finally:
+            # restore on EVERY exit path: a handler left bound after an
+            # exception would swallow Ctrl-C for the rest of the process
+            if prev_handlers:
+                import signal as _signal
+
+                for s, h in prev_handlers.items():
+                    _signal.signal(s, h)
+
+    def _fit_loop(self, step, stop_at, log_path, t_start, verbose, preempted):
         done = False
         while not done:
             for group in self.train_loader:
@@ -249,10 +267,6 @@ class Trainer:
                     break
             if done:
                 break
-        for s, h in prev_handlers.items():
-            import signal as _signal
-
-            _signal.signal(s, h)
         return self.state
 
     # ------------------------------------------------------------------

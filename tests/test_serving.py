@@ -245,7 +245,9 @@ def test_dynamic_batcher_concurrent_requests(engine):
 
     from masg_tpu.infer.serving import DynamicBatcher
 
-    batcher = DynamicBatcher(engine, max_batch=4, window_ms=40.0)
+    # generous window: the assertion below needs all 4 pool threads enqueued
+    # inside it, and CI boxes can space thread startup by tens of ms
+    batcher = DynamicBatcher(engine, max_batch=4, window_ms=250.0)
     try:
         ids_list = [[5, 6, 7], [8, 9, 10, 11], [12, 13], [5, 9, 13]]
         singles = [engine.synthesize(ids) for ids in ids_list]
@@ -263,3 +265,31 @@ def test_dynamic_batcher_concurrent_requests(engine):
         assert batcher.mel_caps == engine.mel_caps
     finally:
         batcher.close()
+
+
+def test_dynamic_batcher_validation_and_close(engine):
+    """A bad request fails only its own caller (validated at enqueue, never
+    poisoning co-batched requests), and close() never strands a waiter."""
+    from masg_tpu.infer.serving import DynamicBatcher
+
+    batcher = DynamicBatcher(engine, max_batch=4, window_ms=5.0)
+    with pytest.raises(ValueError, match="empty"):
+        batcher.synthesize([])
+    with pytest.raises(ValueError, match="exceeds"):
+        batcher.synthesize(list(range(1, 40)))
+    r = batcher.synthesize([5, 6, 7])  # still serving after rejections
+    assert r["mel_len"] > 0
+    batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.synthesize([5, 6, 7])
+
+
+def test_synthesize_many_own_bucket_cap(engine):
+    """A saturating request co-batched with a longer text must truncate at
+    its OWN bucket's mel cap, like the single-request path."""
+    sat = {"ids": list(range(5, 16)), "duration_control": 50.0}  # saturates
+    single = engine.synthesize(sat["ids"], duration_control=50.0)
+    assert single["mel_len"] == engine.mel_caps[16]  # proves saturation
+    long_req = {"ids": list(range(5, 30))}  # forces the L=32 bucket
+    batched = engine.synthesize_many([sat, long_req])
+    assert batched[0]["mel_len"] == single["mel_len"]
