@@ -10,6 +10,7 @@ works without the native G2P engines.
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -35,6 +36,11 @@ def main(argv=None):
     parser.add_argument("--max_frames", type=int, default=None,
                         help="mel frame cap (default model.max_seq_len); "
                              "smaller caps compile much faster on TPU")
+    parser.add_argument("--chunk_phones", type=int, default=None,
+                        help="unbounded-length mode: split the text at pause "
+                             "phones into <=N-phone chunks, synthesize them "
+                             "in one batched dispatch, stitch the audio "
+                             "(the reference truncates past max_seq_len)")
     parser.add_argument("--result_path", type=str, default=None)
     args = parser.parse_args(argv)
 
@@ -82,6 +88,39 @@ def main(argv=None):
             phones = preprocess_mandarin(args.text, "lexicon/pinyin-lexicon-r.txt")
             ids = pinyin_to_sequence(phones)
 
+    vocoder = None if args.no_vocoder else get_vocoder(cfg.model, cfg.config_dir)
+    result_path = args.result_path or cfg.train.path.result_path
+    meta_dim = cfg.preprocess.speaker_generation.one_hot_dim
+    base = (raw_text[:20].replace(" ", "_").replace("{", "").replace("}", "")
+            or "utt")
+
+    if args.chunk_phones:
+        from ..audio.wavio import write_wav
+        from ..infer.synthesis import synthesize_long
+
+        r = synthesize_long(
+            model, variables, ids, accents_ids,
+            speaker_id=args.speaker_id,
+            p_control=args.pitch_control, e_control=args.energy_control,
+            d_control=args.duration_control,
+            max_phones=args.chunk_phones,
+            max_mel_len=args.max_frames or cfg.model.max_seq_len,
+            vocoder=vocoder, meta_dim=meta_dim,
+        )
+        os.makedirs(result_path, exist_ok=True)
+        sr = cfg.preprocess.audio.sampling_rate
+        print(f"mel_len={r['mel_len']} over {r['n_chunks']} chunks "
+              f"({r['mel_len'] * cfg.preprocess.stft.hop_length / sr:.1f}s)")
+        if "wav" in r:
+            path = os.path.join(result_path, base + ".wav")
+            write_wav(path, r["wav"], sr)
+            print("wrote", path)
+        else:
+            path = os.path.join(result_path, base + ".npy")
+            np.save(path, r["mel"])
+            print("wrote", path)
+        return
+
     L = round_up(len(ids), 16)
     texts = np.zeros((1, L), np.int32)
     texts[0, : len(ids)] = ids
@@ -90,9 +129,8 @@ def main(argv=None):
         acc[0, : len(accents_ids)] = accents_ids
     else:
         acc[0, : len(ids)] = NO_ACCENT_ID
-    meta_dim = cfg.preprocess.speaker_generation.one_hot_dim
     batch = {
-        "ids": [raw_text[:20].replace(" ", "_").replace("{", "").replace("}", "") or "utt"],
+        "ids": [base],
         "raw_texts": [raw_text],
         "speakers": np.array([args.speaker_id], np.int32),
         "texts": texts,
@@ -108,8 +146,6 @@ def main(argv=None):
         d_control=args.duration_control,
         max_mel_len=args.max_frames or cfg.model.max_seq_len,
     )
-    vocoder = None if args.no_vocoder else get_vocoder(cfg.model, cfg.config_dir)
-    result_path = args.result_path or cfg.train.path.result_path
     written = save_synth_results(cfg, batch, output, vocoder, result_path)
     print(f"mel_len={int(np.asarray(output.mel_len)[0])} -> {result_path}")
     for w in written:

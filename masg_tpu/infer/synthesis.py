@@ -98,6 +98,121 @@ def synthesize_batch(
     )
 
 
+def pause_phone_ids():
+    """Ids of silence/pause symbols (@sp/@spn/@sil + bare 'sp')."""
+    from ..text.symbols import symbols
+
+    return frozenset(
+        i for i, s in enumerate(symbols)
+        if s in ("@sp", "@spn", "@sil", "sp", "sil", "pau")
+    )
+
+
+def chunk_phone_ids(
+    ids,
+    accent_ids=None,
+    max_phones: int = 120,
+    pause_ids: Optional[frozenset] = None,
+):
+    """Split a long phone sequence into synthesis chunks.
+
+    Prefers splitting right AFTER a pause phone (natural silence, so the
+    stitched audio has no mid-word seams); hard-splits at `max_phones` when
+    no pause occurs. Concatenating the chunks reproduces the input exactly.
+    Returns a list of (ids_chunk, accents_chunk-or-None).
+    """
+    ids = list(ids)
+    acc = list(accent_ids) if accent_ids is not None else None
+    if pause_ids is None:
+        pause_ids = pause_phone_ids()
+    chunks = []
+    start = 0
+    last_pause = -1
+    for i, pid in enumerate(ids):
+        if pid in pause_ids:
+            last_pause = i
+        if i - start + 1 >= max_phones:
+            end = last_pause + 1 if last_pause >= start else i + 1
+            chunks.append(
+                (ids[start:end], acc[start:end] if acc is not None else None))
+            start = end
+            last_pause = -1
+    if start < len(ids):
+        chunks.append((ids[start:], acc[start:] if acc is not None else None))
+    return chunks
+
+
+def synthesize_long(
+    model: FastSpeech2,
+    variables,
+    ids,
+    accent_ids=None,
+    speaker_id: int = 0,
+    speaker_meta: Optional[np.ndarray] = None,
+    speaker_emb: Optional[np.ndarray] = None,
+    p_control: float = 1.0,
+    e_control: float = 1.0,
+    d_control: float = 1.0,
+    max_phones: int = 120,
+    max_mel_len: int = 1000,
+    vocoder: Optional[Vocoder] = None,
+    meta_dim: int = 4,
+):
+    """Unbounded-length synthesis (beyond reference parity: the reference
+    decoder truncates everything past max_seq_len=1000 frames ≈ 11.6 s,
+    transformer/Models.py:166-174).
+
+    The text splits into chunks at pause phones (chunk_phone_ids), ALL
+    chunks synthesize in ONE batched free-running dispatch (B = n_chunks),
+    and the per-chunk mels stitch back in order; the vocoder then runs once
+    over the stitched mel. Returns {"mel", "mel_len", "n_chunks"[, "wav"]}.
+    """
+    chunks = chunk_phone_ids(ids, accent_ids, max_phones=max_phones)
+    if not chunks:
+        raise ValueError("empty phone sequence")
+    from ..text import NO_ACCENT_ID
+
+    B = len(chunks)
+    L = max(len(c) for c, _ in chunks)
+    texts = np.zeros((B, L), np.int32)
+    acc = np.zeros((B, L), np.int32)
+    src_lens = np.zeros(B, np.int32)
+    for i, (c, a) in enumerate(chunks):
+        texts[i, :len(c)] = c
+        if a is not None:
+            acc[i, :len(a)] = a
+        else:
+            acc[i, :len(c)] = NO_ACCENT_ID
+        src_lens[i] = len(c)
+
+    batch = {
+        "texts": texts, "src_lens": src_lens, "accents": acc,
+        "speakers": np.full(B, speaker_id, np.int32),
+        "speaker_meta": (
+            np.tile(np.asarray(speaker_meta, np.float32).reshape(1, -1), (B, 1))
+            if speaker_meta is not None else np.zeros((B, meta_dim), np.float32)
+        ),
+    }
+    emb = (np.tile(np.asarray(speaker_emb, np.float32).reshape(1, -1), (B, 1))
+           if speaker_emb is not None else None)
+    out = synthesize_batch(
+        model, variables, batch, p_control, e_control, d_control,
+        max_mel_len=max_mel_len, speaker_emb=emb,
+    )
+    mel_lens = np.asarray(out.mel_len)
+    mels = np.asarray(out.postnet_mel, np.float32)
+    stitched = np.concatenate([mels[i, :int(mel_lens[i])] for i in range(B)], 0)
+
+    result = {"mel": stitched, "mel_len": int(stitched.shape[0]), "n_chunks": B}
+    if vocoder is not None and stitched.shape[0] > 0:
+        wavs = vocoder_infer(
+            jnp.asarray(stitched[None]), vocoder,
+            lengths=np.asarray([stitched.shape[0] * vocoder.hop_length]),
+        )
+        result["wav"] = wavs[0]
+    return result
+
+
 def save_synth_results(
     cfg: ExperimentConfig,
     batch: Dict[str, np.ndarray],
