@@ -121,7 +121,12 @@ class SynthesisHandler(BaseHTTPRequestHandler):
             req = json.loads(self.rfile.read(n) or b"{}")
             ids, accent_ids = request_to_ids(req)
             emb = req.get("speaker_emb")
-            result = self.engine.synthesize(
+            # texts longer than the largest bucket chunk at pause phones and
+            # stitch (infer.serving.synthesize_chunked) instead of 400ing
+            synth = (self.engine.synthesize_chunked
+                     if emb is None and len(ids) > self.engine.text_buckets[-1]
+                     else self.engine.synthesize)
+            result = synth(
                 ids,
                 accent_ids=accent_ids,
                 speaker_id=int(req.get("speaker_id", 0)),

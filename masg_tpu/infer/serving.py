@@ -344,6 +344,33 @@ class ServingEngine:
         return results
 
 
+    # ------------------------------------------------------------------
+    def synthesize_chunked(self, ids, accent_ids=None, **kwargs
+                           ) -> Dict[str, object]:
+        """Serve a text LONGER than the largest bucket: split at pause
+        phones (infer.synthesis.chunk_phone_ids), run the chunks as one
+        batched dispatch over the pre-compiled buckets (synthesize_many),
+        stitch the audio in order. Seams land on silence."""
+        from .synthesis import chunk_phone_ids
+
+        chunks = chunk_phone_ids(list(ids), accent_ids,
+                                 max_phones=self.text_buckets[-1])
+        reqs = [dict(kwargs, ids=c, accent_ids=a) for c, a in chunks]
+        parts = []
+        for i in range(0, len(reqs), 8):  # batch-bucket ladder tops out at 8
+            parts.extend(self.synthesize_many(reqs[i:i + 8]))
+        key = "mel" if self.vocoder is None else "wav"
+        joined = np.concatenate([p[key] for p in parts], axis=0)
+        return {
+            key: joined,
+            "mel_len": int(sum(p["mel_len"] for p in parts)),
+            "sample_rate": self.sample_rate,
+            "latency_s": parts[0]["latency_s"],
+            "bucket": parts[0]["bucket"],
+            "n_chunks": len(parts),
+        }
+
+
 class DynamicBatcher:
     """Transparent request batcher in front of a ServingEngine.
 

@@ -176,9 +176,6 @@ def test_http_bad_request(server):
     assert code == 400
     assert "phones" in json.loads(body)["error"]
 
-    code, _, _ = _post(server, {"phones": "{" + " ".join(["a"] * 40) + "}"})
-    assert code == 400
-
     # unknown accent char / phone symbol = client error, not a 500
     code, _, body = _post(server, {"phones": "{a i}", "accents": "zz"})
     assert code == 400
@@ -282,6 +279,35 @@ def test_dynamic_batcher_validation_and_close(engine):
     batcher.close()
     with pytest.raises(RuntimeError, match="closed"):
         batcher.synthesize([5, 6, 7])
+
+
+def test_http_overlength_text_chunks(server):
+    """A text longer than the largest bucket (32 here) no longer 400s: it
+    chunks at pause phones, batches over the pre-compiled buckets, and
+    returns the stitched audio."""
+    import io
+    import wave
+
+    phones = " ".join((["a"] * 20 + ["sp"]) * 3)  # 63 phones, pauses at 21/42
+    code, headers, body = _post(server, {"phones": "{" + phones + "}"})
+    assert code == 200
+    assert headers["Content-Type"] == "audio/wav"
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getnframes() == int(headers["X-Mel-Len"]) * 256
+
+
+def test_engine_synthesize_chunked_matches_parts(engine):
+    ids = list(range(5, 25)) + [420] + list(range(30, 55))  # 46 phones, sp pause
+    r = engine.synthesize_chunked(ids)
+    assert r["n_chunks"] >= 2
+    assert r["wav"].shape == (r["mel_len"] * 256,)
+    # equals the stitch of the same chunks run through synthesize_many
+    from masg_tpu.infer.synthesis import chunk_phone_ids
+
+    chunks = chunk_phone_ids(ids, max_phones=engine.text_buckets[-1])
+    parts = engine.synthesize_many([{"ids": c} for c, _ in chunks])
+    np.testing.assert_array_equal(
+        r["wav"], np.concatenate([p["wav"] for p in parts]))
 
 
 def test_synthesize_many_own_bucket_cap(engine):
