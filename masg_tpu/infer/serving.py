@@ -110,6 +110,10 @@ class ServingEngine:
         self._lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0  # batched dispatches via synthesize_many
+        # batch ladder synthesize_many/synthesize_chunked dispatch on; warmup
+        # overwrites it with the EXACT sizes it compiled, so a warmed server
+        # never pays a compile on the request path
+        self.batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
 
     # ------------------------------------------------------------------
     def _build(self, L: int, T: int, from_emb: bool = False):
@@ -145,6 +149,7 @@ class ServingEngine:
         """Compile every (batch, text) bucket; returns compile seconds keyed
         (B, L). Pass the dynamic-batching ladder (e.g. (1, 2, 4, 8)) so no
         request ever pays a compile."""
+        self.batch_buckets = tuple(sorted(set(batch_sizes)))
         times: Dict[Tuple[int, int], float] = {}
         for L in self.text_buckets:
             for B in batch_sizes:
@@ -265,7 +270,7 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def synthesize_many(self, requests: List[dict],
-                        batch_buckets: Sequence[int] = (1, 2, 4, 8),
+                        batch_buckets: Optional[Sequence[int]] = None,
                         ) -> List[Dict[str, object]]:
         """Fuse N speaker-id requests into ONE device dispatch.
 
@@ -286,7 +291,7 @@ class ServingEngine:
                 raise ValueError("empty phone sequence")
         L = pick_bucket(max(len(r["ids"]) for r in requests), self.text_buckets)
         n = len(requests)
-        B = pick_bucket(n, batch_buckets)
+        B = pick_bucket(n, batch_buckets or self.batch_buckets)
 
         texts = np.zeros((B, L), np.int32)
         acc = np.zeros((B, L), np.int32)
@@ -353,20 +358,25 @@ class ServingEngine:
         stitch the audio in order. Seams land on silence."""
         from .synthesis import chunk_phone_ids
 
+        if len(list(ids)) == 0:
+            raise ValueError("empty phone sequence")
         chunks = chunk_phone_ids(list(ids), accent_ids,
                                  max_phones=self.text_buckets[-1])
         reqs = [dict(kwargs, ids=c, accent_ids=a) for c, a in chunks]
-        parts = []
-        for i in range(0, len(reqs), 8):  # batch-bucket ladder tops out at 8
-            parts.extend(self.synthesize_many(reqs[i:i + 8]))
+        stride = self.batch_buckets[-1]  # groups ride the warmed ladder
+        parts, latency = [], 0.0
+        for i in range(0, len(reqs), stride):
+            group = self.synthesize_many(reqs[i:i + stride])
+            latency += group[0]["latency_s"]  # one dispatch per group
+            parts.extend(group)
         key = "mel" if self.vocoder is None else "wav"
         joined = np.concatenate([p[key] for p in parts], axis=0)
         return {
             key: joined,
             "mel_len": int(sum(p["mel_len"] for p in parts)),
             "sample_rate": self.sample_rate,
-            "latency_s": parts[0]["latency_s"],
-            "bucket": parts[0]["bucket"],
+            "latency_s": latency,
+            "bucket": max(p["bucket"] for p in parts),
             "n_chunks": len(parts),
         }
 

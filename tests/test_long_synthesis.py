@@ -3,8 +3,6 @@ decoder truncates everything past max_seq_len=1000 frames,
 transformer/Models.py:166-174; masg_tpu chunks at pause phones and
 stitches)."""
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
