@@ -40,8 +40,13 @@ class Vocoder:
         # MelGAN checkpoints expect log10 mels: natural-log mels / ln(10)
         # (reference utils/model.py:76-78)
         self.mel_scale = mel_scale
+        gen_dtype = getattr(generator, "dtype", jnp.float32)
+        # cast to the generator's compute dtype: callers hand over f32 mels
+        # (e.g. synthesize_long's stitched numpy) even when the vocoder
+        # runs bf16
         self._infer = jax.jit(
-            lambda p, mel: generator.apply({"params": p}, mel * mel_scale))
+            lambda p, mel: generator.apply(
+                {"params": p}, (mel * mel_scale).astype(gen_dtype)))
 
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         """(B, T, n_mels) channel-last log-mel -> (B, T*hop) float wav."""

@@ -79,3 +79,19 @@ def test_synthesize_long_vocodes():
                         meta_dim=cfg.preprocess.speaker_generation.one_hot_dim)
     assert r["wav"].dtype == np.int16
     assert r["wav"].shape == (r["mel_len"] * 256,)
+
+
+def test_bf16_vocoder_accepts_f32_mel():
+    """A bf16 vocoder must accept the f32 stitched mel synthesize_long
+    hands over (caught on real TPU: dtype mismatch in the first conv)."""
+    from masg_tpu.infer.vocoder import Vocoder, vocoder_infer
+    from masg_tpu.models.hifigan import HiFiGANGenerator
+
+    gen = HiFiGANGenerator(upsample_initial_channel=32, dtype=jnp.bfloat16)
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 80), jnp.bfloat16))["params"]
+    voc = Vocoder(gen, params)
+    mel = jnp.asarray(np.random.default_rng(0).normal(size=(1, 9, 80)),
+                      jnp.float32)
+    wavs = vocoder_infer(mel, voc)
+    assert wavs[0].shape == (9 * 256,) and wavs[0].dtype == np.int16
