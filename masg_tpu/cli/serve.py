@@ -47,45 +47,49 @@ def wav_bytes(pcm: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
-def request_to_ids(req: dict):
-    """Request JSON -> (phone ids, accent ids or None)."""
+def request_to_ids(req: dict, lexicon_path=None, config_dir=None):
+    """Request JSON -> (phone ids, accent ids or None).
+
+    Every unknown symbol — phone, accent char, or pinyin — raises ValueError
+    so the HTTP layer maps client input errors to 400, not 500."""
     from ..text import ACCENT_TO_ID, phone_string_to_sequence, text_to_sequence
 
     accent_ids = None
-    if "phones" in req:
-        try:
+    try:
+        if "phones" in req:
             ids = phone_string_to_sequence(req["phones"])
             if req.get("accents"):
                 accent_ids = [ACCENT_TO_ID[c] for c in req["accents"]][: len(ids)]
-        except KeyError as e:  # unknown phone/accent symbol = client error -> 400
-            raise ValueError(f"unknown symbol in request: {e}") from e
-    elif "text" in req:
-        lang = req.get("language", "ja")
-        if lang == "ja":
-            from ..text.g2p import preprocess_japanese
+        elif "text" in req:
+            lang = req.get("language", "ja")
+            if lang == "ja":
+                from ..text.g2p import preprocess_japanese
 
-            phones, accents = preprocess_japanese(req["text"])
-            ids = text_to_sequence(phones)
-            if req.get("use_accent"):
-                accent_ids = [ACCENT_TO_ID[c] for c in accents][: len(ids)]
-        elif lang == "en":
-            from ..text.g2p import preprocess_english
+                phones, accents = preprocess_japanese(req["text"])
+                ids = text_to_sequence(phones)
+                if req.get("use_accent"):
+                    accent_ids = [ACCENT_TO_ID[c] for c in accents][: len(ids)]
+            elif lang == "en":
+                from ..text.g2p import preprocess_english
 
-            ids = text_to_sequence(preprocess_english(req["text"]))
+                ids = text_to_sequence(preprocess_english(req["text"]))
+            else:
+                from ..text import pinyin_to_sequence
+                from ..text.g2p import preprocess_mandarin, resolve_lexicon_path
+
+                ids = pinyin_to_sequence(preprocess_mandarin(
+                    req["text"], resolve_lexicon_path(lexicon_path, config_dir)))
         else:
-            from ..text import pinyin_to_sequence
-            from ..text.g2p import preprocess_mandarin
-
-            ids = pinyin_to_sequence(
-                preprocess_mandarin(req["text"], "lexicon/pinyin-lexicon-r.txt")
-            )
-    else:
-        raise ValueError("request needs 'phones' or 'text'")
+            raise ValueError("request needs 'phones' or 'text'")
+    except KeyError as e:  # unknown symbol = client error -> 400
+        raise ValueError(f"unknown symbol in request: {e}") from e
     return ids, accent_ids
 
 
 class SynthesisHandler(BaseHTTPRequestHandler):
     engine = None  # set by make_server
+    lexicon_path = None  # --lexicon flag; resolved per request (zh only)
+    config_dir = None  # fallback lexicon search root
     protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):  # quiet by default
@@ -119,7 +123,8 @@ class SynthesisHandler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(n) or b"{}")
-            ids, accent_ids = request_to_ids(req)
+            ids, accent_ids = request_to_ids(req, self.lexicon_path,
+                                             self.config_dir)
             emb = req.get("speaker_emb")
             # texts longer than the largest bucket chunk at pause phones and
             # stitch (infer.serving.synthesize_chunked) instead of 400ing
@@ -172,11 +177,13 @@ class SynthesisHandler(BaseHTTPRequestHandler):
             self.wfile.write(body)
 
 
-def make_server(engine, host: str = "127.0.0.1", port: int = 8000
-                ) -> ThreadingHTTPServer:
+def make_server(engine, host: str = "127.0.0.1", port: int = 8000,
+                lexicon_path=None, config_dir=None) -> ThreadingHTTPServer:
     """Bind (port 0 = ephemeral) and return the server; caller runs
     serve_forever(). Split from main() so tests can drive it in-process."""
-    handler = type("BoundHandler", (SynthesisHandler,), {"engine": engine})
+    handler = type("BoundHandler", (SynthesisHandler,), {
+        "engine": engine, "lexicon_path": lexicon_path,
+        "config_dir": config_dir})
     return ThreadingHTTPServer((host, port), handler)
 
 
@@ -198,6 +205,9 @@ def main(argv=None):
                              "device dispatch (DynamicBatcher)")
     parser.add_argument("--batch_window_ms", type=float, default=5.0,
                         help="arrival window for request fusion")
+    parser.add_argument("--lexicon", default=None,
+                        help="pinyin lexicon path (zh requests); defaults to "
+                             "<config_dir>/lexicon/pinyin-lexicon-r.txt or cwd")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -237,7 +247,9 @@ def main(argv=None):
     if batcher is not None:
         engine = batcher
 
-    server = make_server(engine, args.host, args.port)
+    server = make_server(engine, args.host, args.port,
+                         lexicon_path=args.lexicon,
+                         config_dir=cfg.config_dir)
     print(f"serving on http://{args.host}:{server.server_address[1]}", flush=True)
     try:
         server.serve_forever()

@@ -42,6 +42,9 @@ def main(argv=None):
                              "in one batched dispatch, stitch the audio "
                              "(the reference truncates past max_seq_len)")
     parser.add_argument("--result_path", type=str, default=None)
+    parser.add_argument("--lexicon", type=str, default=None,
+                        help="pinyin lexicon path (zh); defaults to "
+                             "<config_dir>/lexicon/pinyin-lexicon-r.txt or cwd")
     args = parser.parse_args(argv)
 
     from ..core.cache import enable_compilation_cache
@@ -83,9 +86,10 @@ def main(argv=None):
             ids = text_to_sequence(phones)
         else:
             from ..text import pinyin_to_sequence
-            from ..text.g2p import preprocess_mandarin
+            from ..text.g2p import preprocess_mandarin, resolve_lexicon_path
 
-            phones = preprocess_mandarin(args.text, "lexicon/pinyin-lexicon-r.txt")
+            phones = preprocess_mandarin(
+                args.text, resolve_lexicon_path(args.lexicon, cfg.config_dir))
             ids = pinyin_to_sequence(phones)
 
     vocoder = None if args.no_vocoder else get_vocoder(cfg.model, cfg.config_dir)

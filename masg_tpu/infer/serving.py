@@ -240,6 +240,7 @@ class ServingEngine:
         if accent_ids is not None:
             m = min(len(accent_ids), n)
             acc[0, :m] = np.asarray(accent_ids[:m], np.int32)
+            acc[0, m:n] = NO_ACCENT_ID  # short accents degrade to no-accent
         else:
             acc[0, :n] = NO_ACCENT_ID
         src_lens = np.asarray([n], np.int32)
@@ -307,6 +308,7 @@ class ServingEngine:
             if a is not None:
                 m = min(len(a), k)
                 acc[i, :m] = np.asarray(a[:m], np.int32)
+                acc[i, m:k] = NO_ACCENT_ID  # short accents degrade to no-accent
             else:
                 acc[i, :k] = NO_ACCENT_ID
             src_lens[i] = k
@@ -409,11 +411,14 @@ class DynamicBatcher:
         self._worker.start()
 
     def close(self):
-        self._stop = True
+        # set _stop under the mutex so no submitter can pass its _stop check
+        # and append after the leftover drain below (close/submit race)
+        with self._mutex:
+            self._stop = True
         self._wake.set()
         self._worker.join(timeout=5)
-        # fail any request that was still queued (or races in after close):
-        # a caller blocked on done.wait() must never hang forever
+        # fail any request that was still queued: a caller blocked on
+        # done.wait() must never hang forever
         with self._mutex:
             leftovers, self._queue = self._queue, []
         for _, done, slot in leftovers:
@@ -434,12 +439,15 @@ class DynamicBatcher:
         if len(ids) == 0:
             raise ValueError("empty phone sequence")
         pick_bucket(len(ids), self.engine.text_buckets)  # raises on oversize
-        if self._stop:
-            raise RuntimeError("DynamicBatcher closed")
         req = dict(kwargs, ids=ids)
         done = threading.Event()
         slot: dict = {}
         with self._mutex:
+            # checked under the mutex: close() flips _stop under the same
+            # lock before draining, so we either enqueue-before-drain (and
+            # get failed by close) or raise here — never hang
+            if self._stop:
+                raise RuntimeError("DynamicBatcher closed")
             self._queue.append((req, done, slot))
         self._wake.set()
         done.wait()

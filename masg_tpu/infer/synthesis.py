@@ -180,7 +180,9 @@ def synthesize_long(
     for i, (c, a) in enumerate(chunks):
         texts[i, :len(c)] = c
         if a is not None:
-            acc[i, :len(a)] = a
+            m = min(len(a), len(c))
+            acc[i, :m] = a[:m]
+            acc[i, m:len(c)] = NO_ACCENT_ID  # short accents -> no-accent
         else:
             acc[i, :len(c)] = NO_ACCENT_ID
         src_lens[i] = len(c)

@@ -139,7 +139,9 @@ def vocoder_infer(
     """(B, T, n_mels) -> list of int16 wavs, truncated to `lengths` samples
     (reference vocoder_infer, utils/model.py:74-92)."""
     wavs = np.asarray(vocoder(mels))
-    wavs = (wavs * vocoder.max_wav_value).astype("int16")
+    # clip before the int16 cast: loud samples would integer-wrap into
+    # artifacts otherwise (matches ServingEngine.synthesize)
+    wavs = np.clip(wavs * vocoder.max_wav_value, -32768, 32767).astype("int16")
     out = [w for w in wavs]
     if lengths is not None:
         out = [w[: int(l)] for w, l in zip(out, lengths)]

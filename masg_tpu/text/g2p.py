@@ -111,6 +111,26 @@ def preprocess_english(text: str) -> List[str]:
     return [openjtalk2julius(r) for r in res2]
 
 
+DEFAULT_LEXICON = "lexicon/pinyin-lexicon-r.txt"
+
+
+def resolve_lexicon_path(path=None, config_dir=None) -> str:
+    """Locate the pinyin lexicon: explicit path, else <config_dir>/lexicon/...,
+    else cwd-relative (the reference hardcodes only the cwd-relative form,
+    synthesize.py:88, which breaks when run from elsewhere)."""
+    import os
+
+    candidates = [path] if path else []
+    if config_dir:
+        candidates.append(os.path.join(config_dir, DEFAULT_LEXICON))
+    candidates.append(DEFAULT_LEXICON)
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    raise ValueError(
+        f"pinyin lexicon not found (tried {candidates}); pass --lexicon")
+
+
 def read_lexicon(lex_path: str) -> dict:
     """Pinyin lexicon reader (synthesize.py:24-32)."""
     lexicon = {}
