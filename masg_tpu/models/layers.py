@@ -77,7 +77,7 @@ class MultiHeadAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.n_head * d_head)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(out + residual)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(out + residual)
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -101,7 +101,7 @@ class PositionwiseFeedForward(nn.Module):
             self.d_model, (self.kernel_size[1],), padding="SAME", dtype=self.dtype, name="w_2"
         )(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(h + residual)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(h + residual)
 
 
 class FFTBlock(nn.Module):

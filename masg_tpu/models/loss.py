@@ -61,7 +61,20 @@ def fastspeech2_loss(
     t = output.mel_pad_mask.shape[1]
     mel_targets = mel_targets[:, :t, :]
 
-    log_d_targets = jnp.log(duration_targets.astype(jnp.float32) + 1.0)
+    # the reference computes the log target in f32 ALWAYS — `.float()` in
+    # model/loss.py:42 casts to float32 even when the model runs in double.
+    # Under x64 (the torch-trajectory parity tests) compute the log in f64
+    # and round to f32: that is bit-identical to torch's correctly-rounded
+    # f32 log, whereas XLA's fast f32 log is off by up to ~500 ulps — enough
+    # to flip near-zero Adam gradients and break f64 trajectory equality.
+    log_dtype = jnp.promote_types(
+        output.log_duration_prediction.dtype, jnp.float32)
+    if jnp.result_type(float) == jnp.float64:  # x64 mode
+        log_d_targets = jnp.log(
+            duration_targets.astype(jnp.float64) + 1.0
+        ).astype(jnp.float32).astype(log_dtype)
+    else:  # normal training: plain f32 target, a ulp-level log error is moot
+        log_d_targets = jnp.log(duration_targets.astype(log_dtype) + 1.0)
     log_d_targets = jax.lax.stop_gradient(log_d_targets)
 
     pv = src_valid if pitch_feature_level == "phoneme_level" else mel_valid

@@ -44,7 +44,11 @@ class SpeechEmbedder(nn.Module):
         x = mels.astype(self.dtype)
         for i in range(self.n_layers):
             rnn = nn.RNN(
-                nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                # param_dtype also fixes the scan CARRY dtype — without it
+                # the zero carry inits f32 and the scan body rejects f64
+                # hidden states under the x64 parity tests
+                nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype,
+                                     param_dtype=self.dtype),
                 name=f"lstm_{i}",
             )
             x = rnn(x)

@@ -45,12 +45,12 @@ class VariancePredictor(nn.Module):
         h = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME", dtype=self.dtype,
                     name="conv1d_1")(x)
         h = nn.relu(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm_1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_1")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME", dtype=self.dtype,
                     name="conv1d_2")(h)
         h = nn.relu(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm_2")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         out = nn.Dense(1, dtype=self.dtype, name="linear_layer")(h)[..., 0]
         if pad_mask is not None:

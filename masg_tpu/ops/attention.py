@@ -41,14 +41,16 @@ def mha_attention(
     """
     dh = q.shape[-1]
     scale = 1.0 / math.sqrt(dh)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    # accumulate in at least f32 (bf16 inputs on the MXU); f64 inputs keep f64
+    acc_t = jnp.promote_types(q.dtype, jnp.float32)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc_t)
     scores = scores * scale
     if pad_mask is not None:
         neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
         scores = jnp.where(pad_mask[:, None, None, :], neg, scores)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=acc_t)
     return out.astype(v.dtype)
 
 

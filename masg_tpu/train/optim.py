@@ -7,14 +7,109 @@ where `step` counts from 1 at the first update (the reference increments
 current_step before computing the lr). Gradient clipping is global-norm at
 grad_clip_thresh (reference train.py:202); gradient accumulation uses
 optax.MultiSteps (reference grad_acc_step).
+
+The Adam transform here is our own rather than optax.scale_by_adam: XLA's
+`pow` lowering is only float32-accurate even for f64 operands (measured
+2e-7 relative on 0.9**1 under jit — both `lax.pow` and the exp/log route),
+which puts a uniform ~7e-7 scalar error on every Adam update via the bias
+corrections. torch computes them with correctly-rounded libm pow, so the
+torch-trajectory parity tests (tests/test_torch_train_parity.py) would see
+that drift compound every step. `_pow_int` computes decay**count by binary
+exponentiation — every step a correctly-rounded multiply, ~1e-14 relative —
+making the update math semantically identical to torch Adam
+(torch/optim/adam.py single-tensor path) in both f32 and f64.
 """
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple
+
+import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 
 from ..core.config import OptimizerConfig
+
+
+def _pow_int(base: float, count) -> jnp.ndarray:
+    """base**count for a traced non-negative integer count, via binary
+    exponentiation in the default float dtype (f32 in training, f64 under
+    the x64 parity tests). O(log count) scalar multiplies — noise next to a
+    train step, and each multiply is correctly rounded, unlike XLA pow."""
+    ftype = jnp.result_type(float)
+
+    def body(s):
+        r, b, n = s
+        r = jnp.where(n & 1, r * b, r)
+        return r, b * b, n >> 1
+
+    r, _, _ = lax.while_loop(
+        lambda s: s[2] > 0,
+        body,
+        (jnp.asarray(1.0, ftype), jnp.asarray(base, ftype),
+         jnp.asarray(count, jnp.int32)),
+    )
+    return r
+
+
+class ScaleByAdamTorchState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_adam_torch(
+    b1: float = 0.9, b2: float = 0.98, eps: float = 1e-9
+) -> optax.GradientTransformation:
+    """torch.optim.Adam's exact update math (single-tensor path):
+      m <- b1*m + (1-b1)*g;  v <- b2*v + (1-b2)*g^2
+      update = (m / (1-b1^t)) / (sqrt(v)/sqrt(1-b2^t) + eps)
+    with bias corrections from `_pow_int` (see module docstring) and eps
+    OUTSIDE the sqrt, after the bias-corrected denominator — torch's
+    placement, which optax matches only up to its sloppy pow."""
+
+    def init_fn(params):
+        return ScaleByAdamTorchState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g, updates, state.mu)
+        nu = jax.tree.map(lambda g, v: b2 * v + (1 - b2) * (g * g), updates, state.nu)
+        count = state.count + 1
+        bc1 = 1 - _pow_int(b1, count)
+        bc2_sqrt = jnp.sqrt(1 - _pow_int(b2, count))
+        new_updates = jax.tree.map(
+            lambda m, v: (m / bc1.astype(m.dtype))
+            / (jnp.sqrt(v) / bc2_sqrt.astype(v.dtype) + eps),
+            mu,
+            nu,
+        )
+        return new_updates, ScaleByAdamTorchState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def clip_by_global_norm_torch(max_norm: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_'s exact semantics (reference
+    train.py:202): coef = max_norm / (norm + 1e-6), clamped to 1.0, applied
+    unconditionally. optax.clip_by_global_norm omits the 1e-6 fudge."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates)
+        coef = jnp.minimum(max_norm / (norm + 1e-6), 1.0)
+        return jax.tree.map(lambda g: g * coef.astype(g.dtype), updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def noam_schedule(
@@ -26,8 +121,12 @@ def noam_schedule(
     init_lr = float(d_model) ** -0.5
 
     def schedule(count):
-        step = jnp.asarray(count, jnp.float32) + 1.0
-        lr = jnp.minimum(step ** -0.5, step * float(warm_up_step) ** -1.5)
+        # default float dtype: f32 in training, f64 under the x64-mode
+        # torch-trajectory parity tests (torch computes the lr in double).
+        # step^-0.5 via 1/sqrt: both ops correctly rounded, where XLA pow
+        # is not (see module docstring).
+        step = jnp.asarray(count, jnp.result_type(float)) + 1.0
+        lr = jnp.minimum(1.0 / jnp.sqrt(step), step * float(warm_up_step) ** -1.5)
         for s in anneal_steps:
             lr = jnp.where(step > s, lr * anneal_rate, lr)
         return init_lr * lr
@@ -40,13 +139,16 @@ def make_optimizer(opt_cfg: OptimizerConfig, d_model: int) -> optax.GradientTran
         d_model, opt_cfg.warm_up_step, opt_cfg.anneal_steps, opt_cfg.anneal_rate
     )
     tx = optax.chain(
-        optax.clip_by_global_norm(opt_cfg.grad_clip_thresh),
-        optax.scale_by_adam(
-            b1=opt_cfg.betas[0], b2=opt_cfg.betas[1], eps=opt_cfg.eps
-        ),
+        clip_by_global_norm_torch(opt_cfg.grad_clip_thresh),
+        # torch Adam's weight_decay is L2-into-gradient (BEFORE the Adam
+        # moments), not AdamW-style decoupled decay — keep that placement
+        # (reference configs all use 0.0, but semantics should match anyway)
         optax.add_decayed_weights(opt_cfg.weight_decay)
         if opt_cfg.weight_decay
         else optax.identity(),
+        scale_by_adam_torch(
+            b1=opt_cfg.betas[0], b2=opt_cfg.betas[1], eps=opt_cfg.eps
+        ),
         optax.scale_by_learning_rate(sched),
     )
     if opt_cfg.grad_acc_step > 1:

@@ -121,7 +121,11 @@ def make_train_step(
         if use_clf:
             assert discriminator is not None and discriminator_params is not None
             bsz = batch["speakers"].shape[0]
-            reorder = jax.random.permutation(rng_perm, bsz)
+            # tests may inject the speaker shuffle (torch-trajectory parity
+            # needs the same permutation the reference's random.sample drew)
+            reorder = batch.get("reorder")
+            if reorder is None:
+                reorder = jax.random.permutation(rng_perm, bsz)
             out_x, new_bs = _forward(
                 model, params, new_bs, batch, rng_drop2, True,
                 speakers=batch["speakers"][reorder],
@@ -137,8 +141,9 @@ def make_train_step(
             )
             dloss = bce_with_logits_sum(disc_out["da_lang_logits"], langs)
             # sigmoid warm-up schedule * lambda, normalized by chunk count
-            # (reference train.py:195-196)
-            sched = 2.0 / (1.0 + jnp.exp(-10.0 * (step / total_step))) - 1.0
+            # (reference train.py:195-196); the reference step counter starts
+            # at 1 (train.py:109) while state.step counts updates from 0
+            sched = 2.0 / (1.0 + jnp.exp(-10.0 * ((step + 1.0) / total_step))) - 1.0
             total = total + dloss * sched * lambd / langs.shape[0]
 
         metrics = StepMetrics(
@@ -166,6 +171,7 @@ def make_train_step(
         state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         return state, metrics._replace(grad_norm=gnorm)
 
+    train_step.loss_fn = loss_fn  # exposed for diagnostics/parity tooling
     return train_step
 
 
@@ -204,7 +210,9 @@ def make_ganlike_train_step(
             total = total - eloss
 
         bsz = batch["speakers"].shape[0]
-        reorder = jax.random.permutation(rng_perm, bsz)
+        reorder = batch.get("reorder")
+        if reorder is None:
+            reorder = jax.random.permutation(rng_perm, bsz)
         out_x, new_bs = _forward(
             model, params["model"], new_bs, batch, rng_drop2, True,
             speakers=batch["speakers"][reorder],
@@ -219,7 +227,7 @@ def make_ganlike_train_step(
             {"params": params["discriminator"]}, chunks, deterministic=True
         )
         dloss = bce_with_logits_sum(disc_out["da_lang_logits"], langs)
-        sched = 2.0 / (1.0 + jnp.exp(-10.0 * (step / total_step))) - 1.0
+        sched = 2.0 / (1.0 + jnp.exp(-10.0 * ((step + 1.0) / total_step))) - 1.0
         total = total + dloss * sched * lambd / langs.shape[0]
 
         metrics = StepMetrics(
@@ -241,6 +249,7 @@ def make_ganlike_train_step(
         state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         return state, metrics._replace(grad_norm=gnorm)
 
+    train_step.loss_fn = loss_fn  # exposed for diagnostics/parity tooling
     return train_step
 
 

@@ -1,0 +1,462 @@
+"""TRAINING-trajectory parity: the reference's exact torch update math
+(three separate backwards + ScheduledOptim, /root/reference/train.py:145-206,
+model/optimizer.py:5-51) vs our fused single-backward train step
+(masg_tpu/train/step.py) from identical converted initial weights.
+
+Forward parity (test_torch_parity.py) proves the graphs agree; this proves the
+*training dynamics* agree — detach placement, masked-loss reductions, Noam
+stepping, grad-accum scaling, and the adversarial schedule are exactly where
+silent divergence would live. Dropout is disabled on both sides (monkeypatched
+to identity) so the only nondeterminism left is the speaker shuffle, which the
+test injects identically into both frameworks.
+"""
+
+import importlib
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+REF_GE2E = os.path.join(REF, "Multilingual-Speaker-Encoder-with-Domain-Adaptation")
+
+B, L, T = 4, 9, 40
+N_SPEAKERS = 4
+WARMUP = 10  # tiny warmup so the lr is large enough to move weights
+# Adam eps for BOTH frameworks. The semantics (eps outside the sqrt, after
+# bias correction) are identical and config-plumbed on both sides; the VALUE
+# here is 1e-6 instead of the production 1e-9 because coordinates with
+# |g| ~ eps amplify f64 rounding noise by ~1/eps (the update's derivative
+# peaks there), which turns bit-level dot-product reassociation into visible
+# trajectory chaos. At 1e-6 that amplification caps at ~1e6*1e-13 = 1e-7,
+# so the multi-step assertions measure SEMANTICS, not chaos.
+EPS = 1e-6
+
+
+def _import_ref(name):
+    """Import reference model/<name>.py under the refmodel package without
+    triggering model/__init__ (drags in POT + hardcoded GE2E hparam path)."""
+    for mod_name, attrs in [("unidecode", {"unidecode": lambda s: s}),
+                            ("inflect", {"engine": lambda: None})]:
+        if mod_name not in sys.modules:
+            mod = types.ModuleType(mod_name)
+            for a, v in attrs.items():
+                setattr(mod, a, v)
+            sys.modules[mod_name] = mod
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    if "refmodel" not in sys.modules:
+        pkg = types.ModuleType("refmodel")
+        pkg.__path__ = [os.path.join(REF, "model")]
+        sys.modules["refmodel"] = pkg
+    return importlib.import_module(f"refmodel.{name}")
+
+
+def _import_ref_ge2e():
+    """Reference SpeechEmbedder with the hardcoded-path hparam stubbed (same
+    shim as test_ge2e_torch_parity.py)."""
+
+    class _Dot(dict):
+        __getattr__ = dict.__getitem__
+
+    hp = _Dot(
+        data=_Dot(nmels=80, tisv_frame=150, sr=22050, hop=256, window=1024,
+                  nfft=1024),
+        model=_Dot(architecture="LSTM", hidden=256, num_layer=3, proj=64,
+                   da=True, da_on="language", da_startpoint=0.0, loss="softmax"),
+        train=_Dot(N=4, M=3),
+    )
+    if "refge2e" not in sys.modules:
+        pkg = types.ModuleType("refge2e")
+        pkg.__path__ = [REF_GE2E]
+        sys.modules["refge2e"] = pkg
+        hparam_mod = types.ModuleType("refge2e.hparam")
+        hparam_mod.hparam = hp
+        sys.modules["refge2e.hparam"] = hparam_mod
+        utils_mod = types.ModuleType("refge2e.utils")
+        utils_mod.get_similarity = None
+        utils_mod.get_contrast_loss = None
+        utils_mod.get_softmax_loss = None
+        utils_mod.count_label = lambda hp: 1
+        sys.modules["refge2e.utils"] = utils_mod
+    return importlib.import_module("refge2e.speech_embedder_net")
+
+
+def _ref_configs(tmpdir):
+    with open(os.path.join(tmpdir, "speakers.json"), "w") as f:
+        json.dump({f"s{i}": [i, "M" if i % 2 == 0 else "F",
+                             "ja" if i < 2 else "en"] for i in range(N_SPEAKERS)}, f)
+    with open(os.path.join(tmpdir, "stats.json"), "w") as f:
+        json.dump({"pitch": [-2, 9, 0, 1], "energy": [-1.5, 8, 0, 1]}, f)
+    pre = {
+        "mel": {"n_mel_channels": 80},
+        "pitch": {"feature": "phoneme_level"},
+        "energy": {"feature": "phoneme_level"},
+        "speaker_generation": {"metadata": {"gender": {"M": 0, "F": 1},
+                                            "language": {"ja": 0, "en": 1}}},
+    }
+    mdl = {
+        "transformer": {"encoder_layer": 2, "encoder_head": 2,
+                        "encoder_hidden": 64, "decoder_layer": 2,
+                        "decoder_head": 2, "decoder_hidden": 64,
+                        "conv_filter_size": 128, "conv_kernel_size": [9, 1],
+                        "encoder_dropout": 0.2, "decoder_dropout": 0.2},
+        "variance_predictor": {"filter_size": 64, "kernel_size": 3,
+                               "dropout": 0.5},
+        "variance_embedding": {"pitch_quantization": "linear",
+                               "energy_quantization": "linear", "n_bins": 256},
+        "jdit": {"use_jdit": False},
+        "multi_speaker": True,
+        "max_seq_len": 1000,
+        "speaker_generation": {"GMM_mixtures": 3},
+    }
+    return pre, mdl
+
+
+def _our_config(grad_acc_step=1):
+    from masg_tpu.core.config import (ExperimentConfig, ModelConfig,
+                                      PreprocessConfig, Stats, TrainConfig)
+
+    cfg = ExperimentConfig(
+        preprocess=PreprocessConfig(),
+        model=ModelConfig(),
+        train=TrainConfig(),
+        stats=Stats(pitch=(-2.0, 9.0, 0.0, 1.0), energy=(-1.5, 8.0, 0.0, 1.0)),
+        speakers={f"s{i}": [i, "M" if i % 2 == 0 else "F",
+                            "ja" if i < 2 else "en"] for i in range(N_SPEAKERS)},
+    )
+    cfg.model.transformer.encoder_layer = 2
+    cfg.model.transformer.decoder_layer = 2
+    cfg.model.transformer.encoder_hidden = 64
+    cfg.model.transformer.decoder_hidden = 64
+    cfg.model.transformer.conv_filter_size = 128
+    cfg.model.variance_predictor.filter_size = 64
+    opt = cfg.train.optimizer
+    opt.warm_up_step = WARMUP
+    opt.grad_acc_step = grad_acc_step
+    opt.betas = (0.9, 0.98)
+    opt.eps = EPS
+    opt.weight_decay = 0.0
+    opt.grad_clip_thresh = 1.0
+    return cfg
+
+
+def _make_batches(n, seed=0):
+    """n synthetic batches with static (B, L, T) shapes; durations padded 0.
+    Floats are f64: both frameworks run in double so the only differences a
+    tight tolerance can see are SEMANTIC, not f32 op-order noise (Adam's
+    sign-like first steps amplify any noise on near-zero gradients by 2*lr)."""
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n):
+        texts = rng.integers(1, 100, size=(B, L)).astype(np.int64)
+        src_lens = np.full(B, L, np.int64)
+        src_lens[1] = L - 2
+        texts[1, L - 2:] = 0
+        accents = rng.integers(0, 5, size=(B, L)).astype(np.int64)
+        durations = rng.integers(1, 4, size=(B, L)).astype(np.int64)
+        durations[1, L - 2:] = 0
+        mel_lens = durations.sum(1)
+        mels = rng.normal(size=(B, T, 80))
+        pitches = rng.normal(size=(B, L))
+        energies = rng.normal(size=(B, L))
+        speakers = rng.integers(0, N_SPEAKERS, size=B).astype(np.int64)
+        meta = np.zeros((B, 4), np.float64)
+        gender = rng.integers(0, 2, size=B)
+        lang = rng.integers(0, 2, size=B)
+        meta[np.arange(B), gender] = 1.0
+        meta[np.arange(B), 2 + lang] = 1.0
+        reorder = rng.permutation(B).astype(np.int64)
+        batches.append(dict(
+            texts=texts, src_lens=src_lens, accents=accents,
+            durations=durations, mel_lens=mel_lens, mels=mels,
+            pitches=pitches, energies=energies, speakers=speakers,
+            meta=meta, reorder=reorder,
+        ))
+    return batches
+
+
+@pytest.fixture
+def no_dropout(monkeypatch):
+    """Disable dropout in BOTH frameworks so trajectories are deterministic.
+    (The reference's PostNet/prenet hardcode F.dropout with self.training,
+    so zeroing config rates alone is not enough.)"""
+    import flax.linen as fnn
+
+    monkeypatch.setattr(
+        torch.nn.functional, "dropout",
+        lambda x, p=0.5, training=False, inplace=False: x,
+    )
+    orig = fnn.Dropout.__call__
+    monkeypatch.setattr(
+        fnn.Dropout, "__call__",
+        lambda self, x, deterministic=None, rng=None: orig(
+            self, x, deterministic=True),
+    )
+
+
+def _torch_trajectory(batches, grad_acc_step, total_step, use_clf=False,
+                      lambd=1.0, seed=0, tmpdir=None):
+    """Replicates /root/reference/train.py:134-206 verbatim: forward, three
+    backwards (FS2 loss / negated prior log-prob / scheduled adversarial),
+    clip 1.0 every grad_acc_step, ScheduledOptim. Returns (per-step metric
+    dicts, final state_dict)."""
+    fs2_mod = _import_ref("fastspeech2")
+    loss_mod = _import_ref("loss")
+    opt_mod = _import_ref("optimizer")
+    pre, mdl = _ref_configs(tmpdir)
+
+    torch.manual_seed(seed)
+    model = fs2_mod.FastSpeech2(pre, mdl, tmpdir).double()
+    model.train()
+    Loss = loss_mod.FastSpeech2Loss(pre, mdl)
+    eLoss = loss_mod.SpeakerMetaEncLoss(pre, mdl)
+    train_cfg = {"optimizer": {"betas": [0.9, 0.98], "eps": EPS,
+                               "weight_decay": 0.0, "warm_up_step": WARMUP,
+                               "anneal_steps": [300000, 400000, 500000],
+                               "anneal_rate": 0.3}}
+    optim = opt_mod.ScheduledOptim(model, train_cfg, mdl, current_step=0)
+
+    disc = None
+    if use_clf:
+        net_mod = _import_ref_ge2e()
+        torch.manual_seed(seed + 100)
+        disc = net_mod.SpeechEmbedder().double()
+        disc.train()
+    bce = torch.nn.BCEWithLogitsLoss(reduction="sum")
+
+    traj = []
+    step = 1
+    for b in batches:
+        batch = (
+            None, None, torch.from_numpy(b["speakers"]),
+            torch.from_numpy(b["texts"]), torch.from_numpy(b["src_lens"]), L,
+            torch.from_numpy(b["mels"]), torch.from_numpy(b["mel_lens"]), T,
+            torch.from_numpy(b["pitches"]), torch.from_numpy(b["energies"]),
+            torch.from_numpy(b["durations"]),
+        )
+        accents = torch.from_numpy(b["accents"])
+        speaker_meta = torch.from_numpy(b["meta"])
+        output = model(*(batch[2:]), accents=accents,
+                       speaker_meta=speaker_meta)
+        losses = Loss(batch, output[:-2])
+        total_loss = losses[0] / grad_acc_step
+        total_loss.backward()
+
+        eloss = eLoss(output[-1], output[-2])
+        (-eloss / grad_acc_step).backward()
+
+        rec = {"total": float(losses[0]), "mel": float(losses[1]),
+               "postnet_mel": float(losses[2]), "pitch": float(losses[3]),
+               "energy": float(losses[4]), "duration": float(losses[5]),
+               "eloss": float(eloss), "dloss": 0.0}
+
+        if use_clf:
+            reorder = list(b["reorder"])
+            speakers = torch.stack([batch[2][reorder[i]] for i in range(B)])
+            meta_sh = torch.stack([speaker_meta[reorder[i]] for i in range(B)])
+            batch2 = batch[:2] + (speakers,) + batch[3:]
+            output2 = model(*(batch2[2:]), accents=accents,
+                            speaker_meta=meta_sh)
+            max_len = output2[0].shape[1]
+            max_len_r = max_len // 150 + 1
+            n_mels = output2[0].shape[2]
+            batch_r_m = torch.cat(
+                [output2[0],
+                 torch.zeros(B, max_len_r * 150 - max_len, n_mels,
+                             dtype=output2[0].dtype)], dim=1
+            ).view(B * max_len_r, 150, n_mels)
+            langs = meta_sh[:, 2].view(-1, 1).repeat(1, max_len_r).view(-1)
+            # the reference hard-casts the discriminator input to f32
+            # (speech_embedder_net.py:109 `x.float()`) — a no-op in its f32
+            # production but fatal against .double() weights; disable the
+            # cast for the duration of the call so BOTH sides run the
+            # discriminator in f64
+            orig_float = torch.Tensor.float
+            torch.Tensor.float = lambda self: self
+            try:
+                disc_out = disc(batch_r_m)
+            finally:
+                torch.Tensor.float = orig_float
+            dloss = bce(disc_out["da_lang_logits"], langs)
+            import math
+            dloss_ = dloss * (2 / (1 + math.exp(-10 * (step / total_step))) - 1) / len(langs)
+            (dloss_ * lambd).backward()
+            rec["dloss"] = float(dloss)
+
+        if step % grad_acc_step == 0:
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+            optim.step_and_update_lr()
+            optim.zero_grad()
+        traj.append(rec)
+        step += 1
+    return traj, model.state_dict()
+
+
+def _jax_trajectory(batches, grad_acc_step, total_step, init_sd,
+                    use_clf=False, disc_sd=None, lambd=1.0):
+    """Runs our fused train step on the same batch stream from the converted
+    torch initial weights, entirely in float64 (enable_x64)."""
+    import jax
+
+    with jax.enable_x64(True):
+        import jax.numpy as jnp
+
+        from masg_tpu.compat.torch_fs2 import convert_torch_fastspeech2
+        from masg_tpu.models import FastSpeech2
+        from masg_tpu.models.speaker_encoder import SpeechEmbedder
+        from masg_tpu.train.optim import make_optimizer
+        from masg_tpu.train.state import create_train_state
+        from masg_tpu.train.step import make_train_step
+
+        to64 = lambda tree: jax.tree.map(
+            lambda x: x.astype(np.float64)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x, tree)
+
+        cfg = _our_config(grad_acc_step)
+        params, batch_stats = convert_torch_fastspeech2(
+            init_sd, encoder_layers=2, decoder_layers=2)
+        params, batch_stats = to64(params), to64(batch_stats)
+        model = FastSpeech2.from_config(cfg, dtype=jnp.float64)
+        tx = make_optimizer(cfg.train.optimizer, 64)
+        state = create_train_state(
+            model, {"params": params, "batch_stats": batch_stats}, tx)
+
+        disc = disc_params = None
+        if use_clf:
+            from masg_tpu.train.loop import convert_torch_ge2e
+
+            disc = SpeechEmbedder(n_mels=80, hidden=256, n_layers=3, proj=64,
+                                  dtype=jnp.float64)
+            disc_params = to64(convert_torch_ge2e(disc_sd, disc))
+
+        step_fn = jax.jit(make_train_step(
+            model, use_clf=use_clf, discriminator=disc,
+            discriminator_params=disc_params, lambd=lambd,
+            total_step=total_step,
+        ))
+        traj = []
+        key = jax.random.PRNGKey(0)
+        for b in batches:
+            sb = dict(
+                speakers=jnp.asarray(b["speakers"].astype(np.int32)),
+                texts=jnp.asarray(b["texts"].astype(np.int32)),
+                src_lens=jnp.asarray(b["src_lens"].astype(np.int32)),
+                mels=jnp.asarray(b["mels"]),
+                mel_lens=jnp.asarray(b["mel_lens"].astype(np.int32)),
+                pitches=jnp.asarray(b["pitches"]),
+                energies=jnp.asarray(b["energies"]),
+                durations=jnp.asarray(b["durations"].astype(np.int32)),
+                accents=jnp.asarray(b["accents"].astype(np.int32)),
+                speaker_meta=jnp.asarray(b["meta"]),
+            )
+            if use_clf:
+                sb["reorder"] = jnp.asarray(b["reorder"].astype(np.int32))
+            key, sub = jax.random.split(key)
+            state, m = step_fn(state, sb, sub)
+            traj.append({"total": float(m.total), "mel": float(m.mel),
+                         "postnet_mel": float(m.postnet_mel),
+                         "pitch": float(m.pitch), "energy": float(m.energy),
+                         "duration": float(m.duration),
+                         "eloss": float(m.speaker_prior),
+                         "dloss": float(m.dloss)})
+        # materialize on host inside the x64 context
+        state = jax.device_get(state)
+    return traj, state
+
+
+def _assert_traj_match(ref_traj, our_traj, rtol, keys=None):
+    keys = keys or ["total", "mel", "postnet_mel", "pitch", "energy",
+                    "duration", "eloss", "dloss"]
+    for i, (r, o) in enumerate(zip(ref_traj, our_traj)):
+        for k in keys:
+            np.testing.assert_allclose(
+                o[k], r[k], rtol=rtol, atol=1e-8,
+                err_msg=f"step {i + 1} loss '{k}' diverged: "
+                        f"torch={r[k]:.6f} jax={o[k]:.6f}")
+
+
+def test_training_trajectory_parity_plain(no_dropout, tmp_path):
+    """6 steps of the plain multi-speaker path (FS2 loss + speaker prior):
+    per-step loss trajectories must match the reference update math."""
+    batches = _make_batches(6, seed=0)
+    ref_traj, _ = _torch_trajectory(
+        batches, grad_acc_step=1, total_step=30000, tmpdir=str(tmp_path))
+
+    torch.manual_seed(0)  # rebuild identical init for conversion
+    fs2_mod = _import_ref("fastspeech2")
+    pre, mdl = _ref_configs(str(tmp_path))
+    init = fs2_mod.FastSpeech2(pre, mdl, str(tmp_path)).double()
+    init_sd = {k: v.numpy().copy() for k, v in init.state_dict().items()}
+
+    our_traj, _ = _jax_trajectory(batches, 1, 30000, init_sd)
+    # step 1 losses are pre-update (forward parity); later steps compound the
+    # update math, so tolerance is the interesting part: 1e-3 relative over 6
+    # aggressive-lr steps catches any detach/reduction/schedule divergence
+    _assert_traj_match(ref_traj, our_traj, rtol=1e-5)
+
+
+def test_training_trajectory_parity_grad_accum(no_dropout, tmp_path):
+    """Same, with grad_acc_step=2: loss/k scaling, accumulate-2-then-update,
+    and per-UPDATE (not per-microbatch) Noam stepping must all line up."""
+    batches = _make_batches(6, seed=1)
+    ref_traj, ref_sd = _torch_trajectory(
+        batches, grad_acc_step=2, total_step=30000, tmpdir=str(tmp_path))
+
+    torch.manual_seed(0)
+    fs2_mod = _import_ref("fastspeech2")
+    pre, mdl = _ref_configs(str(tmp_path))
+    init = fs2_mod.FastSpeech2(pre, mdl, str(tmp_path)).double()
+    init_sd = {k: v.numpy().copy() for k, v in init.state_dict().items()}
+
+    our_traj, state = _jax_trajectory(batches, 2, 30000, init_sd)
+    _assert_traj_match(ref_traj, our_traj, rtol=1e-5)
+
+    # final-weights check: convert the torch end state and diff the trees
+    from masg_tpu.compat.torch_fs2 import convert_torch_fastspeech2
+
+    ref_params, _ = convert_torch_fastspeech2(
+        {k: v.numpy() for k, v in ref_sd.items()},
+        encoder_layers=2, decoder_layers=2)
+    import jax
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_params)
+    flat_our = dict(jax.tree_util.tree_leaves_with_path(state.params))
+    for path, ref_leaf in flat_ref:
+        our_leaf = flat_our[path]
+        np.testing.assert_allclose(
+            np.asarray(our_leaf), np.asarray(ref_leaf), rtol=1e-6, atol=1e-9,
+            err_msg=f"param {jax.tree_util.keystr(path)} diverged after "
+                    f"6 microbatches / 3 updates")
+
+
+def test_training_trajectory_parity_use_clf(no_dropout, tmp_path):
+    """--use_clf: speaker-shuffled second forward, 150-frame chunking, frozen
+    GE2E discriminator BCE with the sigmoid schedule (train.py:169-197). The
+    shuffle is injected identically into both frameworks."""
+    total_step = 100  # small so the sigmoid schedule weight is non-negligible
+    batches = _make_batches(5, seed=2)
+    ref_traj, _ = _torch_trajectory(
+        batches, grad_acc_step=1, total_step=total_step, use_clf=True,
+        lambd=1.0, tmpdir=str(tmp_path))
+
+    torch.manual_seed(0)
+    fs2_mod = _import_ref("fastspeech2")
+    pre, mdl = _ref_configs(str(tmp_path))
+    init = fs2_mod.FastSpeech2(pre, mdl, str(tmp_path)).double()
+    init_sd = {k: v.numpy().copy() for k, v in init.state_dict().items()}
+    net_mod = _import_ref_ge2e()
+    torch.manual_seed(100)
+    disc = net_mod.SpeechEmbedder().double()
+    disc_sd = {k: v.detach().numpy().copy() for k, v in disc.state_dict().items()}
+
+    our_traj, _ = _jax_trajectory(
+        batches, 1, total_step, init_sd, use_clf=True, disc_sd=disc_sd,
+        lambd=1.0)
+    _assert_traj_match(ref_traj, our_traj, rtol=1e-5)
+    assert any(r["dloss"] != 0.0 for r in ref_traj)
