@@ -37,7 +37,12 @@ class GroupedLoader:
         self.group_size = group_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # epoch counter: the shuffle is a pure function of (seed, epoch), so
+        # a restarted run that sets `epoch` (Trainer.fit positions it from
+        # restore_step) replays the exact batch stream of the original run —
+        # checkpoint resume is bit-deterministic, not just "finite"
+        self.epoch = 0
         self.prefetch = prefetch
         # workers>1 overlaps item IO with a thread pool (np.load releases the
         # GIL during reads) for disk-bound corpora; measured on this host
@@ -51,10 +56,28 @@ class GroupedLoader:
         n = len(self.dataset)
         return n // mega if self.drop_last else (n + mega - 1) // mega
 
+    @property
+    def batches_per_epoch(self) -> int:
+        """REAL batches yielded per epoch. Two distinct drop levels govern
+        this: the LOADER's drop_last discards a partial trailing mega-batch
+        outright (_produce), while the DATASET's drop_last makes collate()
+        drop the sub-batch_size tail *within* a chunk (the reference trains
+        with dataset drop_last=True, train.py:47). Resume positioning
+        (Trainer.fit) depends on this matching the actual yield count."""
+        mega = self.batch_size * self.group_size
+        n = len(self.dataset)
+        full, r = divmod(n, mega)
+        bpe = full * self.group_size
+        if r and not self.drop_last:
+            bpe += r // self.batch_size
+            if r % self.batch_size and not getattr(self.dataset, "drop_last", False):
+                bpe += 1
+        return bpe
+
     def _epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idx)
+            np.random.default_rng([self.seed, self.epoch]).shuffle(idx)
         return idx
 
     def _produce(self, q: "queue.Queue"):
@@ -85,3 +108,4 @@ class GroupedLoader:
             if item is None:
                 break
             yield item
+        self.epoch += 1

@@ -67,6 +67,10 @@ class Trainer:
         self.train_loader = train_loader
         self.val_dataset = val_dataset
         self.vocoder = vocoder
+        # kept for introspection (the step closures capture them): tests
+        # assert the frozen --use_clf discriminator is the loaded checkpoint
+        self.discriminator = discriminator
+        self.discriminator_params = discriminator_params
 
         # Production multi-device path (reference nn.DataParallel toggle,
         # train.py:67-68): params tp-sharded per parallel/mesh rules (pure
@@ -168,6 +172,17 @@ class Trainer:
         log_path = os.path.join(self.cfg.train.path.log_path, "train")
         os.makedirs(log_path, exist_ok=True)
 
+        # Deterministic resume: position the data stream where the original
+        # run would be at restore_step (loader shuffles are a pure function
+        # of (seed, epoch)), so a restored run replays the exact remaining
+        # batches instead of restarting epoch 0. Skipped batches are loaded
+        # and discarded — a one-time sub-epoch cost.
+        skip = 0
+        bpe = getattr(self.train_loader, "batches_per_epoch", 0)
+        if restore_step and bpe:
+            self.train_loader.epoch = restore_step // bpe
+            skip = restore_step % bpe
+
         # Preemption-safe shutdown (beyond reference parity: crash = rerun
         # with --restore_step there, SURVEY §5). SIGTERM/SIGINT set a flag;
         # the loop finishes the in-flight step, saves a checkpoint at the
@@ -196,7 +211,7 @@ class Trainer:
         t_start = time.time()
         try:
             return self._fit_loop(step, stop_at, log_path, t_start, verbose,
-                                  preempted)
+                                  preempted, skip)
         finally:
             # restore on EVERY exit path: a handler left bound after an
             # exception would swallow Ctrl-C for the rest of the process
@@ -206,12 +221,19 @@ class Trainer:
                 for s, h in prev_handlers.items():
                     _signal.signal(s, h)
 
-    def _fit_loop(self, step, stop_at, log_path, t_start, verbose, preempted):
+    def _fit_loop(self, step, stop_at, log_path, t_start, verbose, preempted,
+                  skip=0):
         done = False
         while not done:
             for group in self.train_loader:
                 for batch in group:
-                    self.rng, sub = jax.random.split(self.rng)
+                    if skip > 0:  # fast-forwarding to the restore position
+                        skip -= 1
+                        continue
+                    # per-step key is a pure function of (seed, step), so a
+                    # restored run draws the same dropout/shuffle randomness
+                    # the original would have at that step
+                    sub = jax.random.fold_in(self.rng, step)
                     # numpy key DATA: multi-process jit treats host values as
                     # replicated (identical seeds on every process); the step
                     # re-wraps it under the configured impl
@@ -488,7 +510,13 @@ def build_experiment(
 
         discriminator = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels)
         dpath = cfg.train.discriminator_path
-        if dpath and os.path.exists(dpath):
+        if dpath:
+            # a configured discriminator_path MUST load (reference
+            # train.py:74-91 torch.load would crash too) — silently training
+            # against a random discriminator would invalidate the experiment
+            if not os.path.exists(dpath):
+                raise FileNotFoundError(
+                    f"train.yaml discriminator_path does not exist: {dpath}")
             discriminator_params = load_ge2e_checkpoint(dpath, discriminator)
         else:
             chunk = jnp.zeros((2, 150, cfg.preprocess.mel.n_mel_channels))
@@ -532,7 +560,12 @@ def load_ge2e_checkpoint(path: str, discriminator):
 
         mgr = ocp.CheckpointManager(os.path.abspath(path))
         step = mgr.latest_step()
-        return mgr.restore(step)["params"]
+        if step is None:
+            raise FileNotFoundError(f"no GE2E checkpoint steps under {path}")
+        # saved via StandardSave (train/ge2e.py) — restore needs the matching
+        # args or orbax can't resolve the handler and returns nothing
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+        return restored["params"]
     # torch checkpoint
     import torch
 

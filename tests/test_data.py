@@ -127,3 +127,24 @@ def test_frame_level_targets_pad_with_mels(corpus):
     assert b["pitches"].shape[1] == b["mels"].shape[1]
     assert b["energies"].shape[1] == b["mels"].shape[1]
     assert b["durations"].shape == b["texts"].shape
+
+
+def test_batches_per_epoch_matches_actual_yield(corpus):
+    """Resume positioning (Trainer.fit) trusts batches_per_epoch; it must
+    equal the ACTUAL number of batches the loader yields under every
+    combination of loader-level drop_last (partial mega-batch) and
+    dataset-level drop_last (collate's sub-batch_size tail — the training
+    default, reference train.py:47)."""
+    raw, pre, config = corpus
+    for ds_drop in (False, True):
+        for ld_drop in (False, True):
+            for bs, gs in [(2, 2), (2, 1), (3, 2), (4, 1)]:
+                ds = Dataset("train.txt", config, batch_size=bs, sort=True,
+                             drop_last=ds_drop)
+                if ld_drop and bs * gs >= len(ds):
+                    continue  # loader rejects all-dropped configurations
+                loader = GroupedLoader(ds, batch_size=bs, group_size=gs,
+                                       drop_last=ld_drop, seed=1)
+                actual = sum(len(group) for group in loader)
+                assert actual == loader.batches_per_epoch, (
+                    ds_drop, ld_drop, bs, gs, actual, loader.batches_per_epoch)
