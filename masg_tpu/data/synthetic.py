@@ -114,7 +114,8 @@ def make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3, seed=0,
 def make_config_dir(root, pre_dir, tmp, *, dataset="SYNTH", batch_size=2,
                     group_size=2, total_step=20, log_step=5, synth_step=1000,
                     val_step=10, save_step=10, grad_acc_step=1, warm_up_step=20,
-                    out_subdir="out"):
+                    out_subdir="out", use_jdit=False, discriminator_path=None,
+                    lambd=None):
     """Write a reference-style experiment config dir for the fixture corpus."""
     import yaml
 
@@ -142,7 +143,7 @@ def make_config_dir(root, pre_dir, tmp, *, dataset="SYNTH", batch_size=2,
             "variance_predictor": {"filter_size": 64, "kernel_size": 3, "dropout": 0.5},
             "variance_embedding": {"pitch_quantization": "linear",
                                    "energy_quantization": "linear", "n_bins": 256},
-            "jdit": {"use_jdit": False, "prenet_hidden": 64},
+            "jdit": {"use_jdit": use_jdit, "prenet_hidden": 64},
             "multi_speaker": True,
             "max_seq_len": 1000,
             "vocoder": {"model": "HiFi-GAN", "speaker": "universal"},
@@ -150,7 +151,7 @@ def make_config_dir(root, pre_dir, tmp, *, dataset="SYNTH", batch_size=2,
             "discriminator": {"hidden": 64},
         }, f)
     with open(os.path.join(cfg_dir, "train.yaml"), "w") as f:
-        yaml.dump({
+        train_yaml = {
             "path": {
                 "ckpt_path": os.path.join(tmp, out_subdir, "ckpt"),
                 "log_path": os.path.join(tmp, out_subdir, "log"),
@@ -167,7 +168,12 @@ def make_config_dir(root, pre_dir, tmp, *, dataset="SYNTH", batch_size=2,
                      "save_step": save_step},
             "dataparallel": False,
             "group_size": group_size,
-        }, f)
+        }
+        if discriminator_path is not None:  # reference train.yaml:6
+            train_yaml["discriminator_path"] = discriminator_path
+        if lambd is not None:
+            train_yaml["lambda"] = lambd
+        yaml.dump(train_yaml, f)
     with open(os.path.join(cfg_dir, f"preprocess_{dataset}.yaml"), "w") as f:
         yaml.dump({
             "dataset": dataset,
