@@ -197,3 +197,45 @@ def test_evaluate_cli_val_and_test_split(experiment, capsys):
     assert all(np.isfinite(lv)) and all(np.isfinite(lt))
     # different splits -> different numbers (guards against split mixups)
     assert lv != lt
+
+
+def test_train_jdit_e2e(experiment):
+    """JDIT (joint-duration Tacotron2 attention teacher) trains through the
+    production Trainer: the jdit MSE joins the loss (reference
+    train.py:150-154, config/JSUT/model-jdit.yaml:24), losses stay finite,
+    and synth_sample writes the alignment heatmap figure."""
+    import jax
+
+    from masg_tpu.core.config import load_config_dir
+    from masg_tpu.train.loop import build_experiment
+
+    tmp, cfg_dir, pre = experiment
+    cfg = load_config_dir(cfg_dir)
+    cfg.model.jdit.use_jdit = True
+    cfg.train.path.ckpt_path = os.path.join(tmp, "jdit_out", "ckpt")
+    cfg.train.path.log_path = os.path.join(tmp, "jdit_out", "log")
+
+    trainer = build_experiment(cfg, n_devices=1)
+    group = next(iter(trainer.train_loader))
+    batch = group[0]
+
+    # the jdit branch is LIVE: eval forward returns teacher mel + alignments
+    _, _, out = trainer.eval_step_fn(trainer.state, trainer._place_batch(batch))
+    assert out.mel_jdit is not None and out.alignments is not None
+    assert np.isfinite(np.asarray(out.mel_jdit)).all()
+    a = np.asarray(out.alignments)
+    # soft attention rows are a distribution over phones
+    np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-4)
+
+    trainer.fit(max_steps=5, verbose=False)  # log_step=5 -> one logged line
+    log = open(os.path.join(tmp, "jdit_out/log/train/log.txt")).read()
+    import re
+
+    totals = [float(x) for x in re.findall(r"Total Loss: ([\d.eE+-]+)", log)]
+    assert totals and np.all(np.isfinite(totals))
+
+    # alignment figure written by the synth hook
+    tags = []
+    trainer.train_logger.add_figure = lambda tag, fig, step: tags.append(tag)
+    trainer.synth_sample(batch, step=2)
+    assert any("alignment" in t for t in tags), tags
