@@ -40,6 +40,11 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
+        # rendezvous window; MASG_INIT_TIMEOUT widens it on loaded hosts
+        # (CI runs the two-process test concurrently with the main suite)
+        if os.environ.get("MASG_INIT_TIMEOUT"):
+            kwargs["initialization_timeout"] = int(
+                os.environ["MASG_INIT_TIMEOUT"])
     try:
         # CPU backends need an explicit cross-process collectives impl
         # (no-op for TPU, where collectives ride ICI/DCN natively)

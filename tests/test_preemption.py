@@ -74,3 +74,41 @@ def test_sigterm_saves_checkpoint_and_resumes(tmp_path):
     losses = [float(x) for x in re.findall(r"Total Loss: ([\d.]+)",
                                            open(log_txt).read())]
     assert np.isfinite(losses).all()
+
+
+def test_preemption_flag_fast(tmp_path):
+    """Fast in-process variant of the SIGTERM shutdown (no subprocess, no
+    cold compile): the signal lands mid-step; the loop must finish that step,
+    save a checkpoint AT that step, restore the previous handler, and the
+    checkpoint must resume."""
+    from masg_tpu.core.config import load_config_dir
+    from masg_tpu.data.synthetic import build_synthetic_experiment_dir
+    from masg_tpu.train.loop import build_experiment
+
+    cfg_dir = build_synthetic_experiment_dir(
+        str(tmp_path), n_speakers=2, utts_per_speaker=6, batch_size=4,
+        group_size=1, total_step=50, log_step=10**9, val_step=10**9,
+        synth_step=10**9, save_step=10**9)
+    cfg = load_config_dir(cfg_dir)
+    trainer = build_experiment(cfg, n_devices=1)
+
+    calls = {"n": 0}
+    orig = trainer.train_step_fn
+
+    def wrapped(state, batch, rng):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            os.kill(os.getpid(), signal.SIGTERM)  # preempt mid-step 2
+        return orig(state, batch, rng)
+
+    trainer.train_step_fn = wrapped
+    prev = signal.getsignal(signal.SIGTERM)
+    trainer.fit(verbose=False)  # total_step=50 bounds a broken flag path
+
+    assert calls["n"] == 2, calls  # in-flight step finished, loop stopped
+    assert trainer.ckpt.latest_step() == 2  # saved at the CURRENT step
+    assert signal.getsignal(signal.SIGTERM) is prev  # handler restored
+
+    trainer2 = build_experiment(cfg, restore_step=2, n_devices=1)
+    trainer2.fit(restore_step=2, max_steps=2, verbose=False)
+    assert int(np.asarray(trainer2.state.step)) >= 4
