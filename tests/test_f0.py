@@ -135,3 +135,121 @@ def test_vocal_fixture_native_matches_numpy():
     rel = np.abs(native[both] - ref[both]) / ref[both]
     assert np.median(rel) < 0.01, np.median(rel)
     assert np.quantile(rel, 0.9) < 0.05, np.quantile(rel, 0.9)
+
+
+# ---------------------------------------------------------------------------
+# DIO failure-mode battery (VERDICT r1 item 9): octave errors on creaky/
+# low-pitch voices, high-pitch voices, and pitch jumps are exactly the errors
+# that would silently corrupt stats.json. Signals are synthesized in-test
+# with an analytic instantaneous-F0 contour, so ground truth is exact.
+# ---------------------------------------------------------------------------
+
+def synth_vocal(f0_of_t, seconds, jitter=0.0, shimmer=0.0, seed=0,
+                max_harm_hz=4500.0):
+    """Harmonic glottal-style source with formant shaping and optional
+    cycle-rate jitter/shimmer (the creaky-voice approximation). Returns
+    (signal, per-frame true F0 at the pyworld frame convention)."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    f0 = f0_of_t(t).astype(np.float64)
+    if jitter:
+        # slow multiplicative pitch perturbation (~80 Hz bandwidth)
+        m = rng.normal(size=n // 256 + 2)
+        mod = np.interp(np.arange(n), np.arange(len(m)) * 256, m)
+        f0 = f0 * (1.0 + jitter * mod)
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    f0_mean = float(np.mean(f0))
+    formants = [(600, 1.0), (1400, 0.5), (2600, 0.25)]
+
+    def gain(freq):
+        g = 0.05
+        for fc, amp in formants:
+            g += amp * np.exp(-0.5 * ((freq - fc) / (0.12 * fc + 60.0)) ** 2)
+        return g / (1.0 + freq / 3000.0)
+
+    sig = np.zeros(n)
+    h = 1
+    while h * f0_mean < max_harm_hz:
+        sig += gain(h * f0_mean) / np.sqrt(h) * np.sin(h * phase + 0.07 * h * h)
+        h += 1
+    if shimmer:
+        m = rng.normal(size=n // 256 + 2)
+        amp_mod = 1.0 + shimmer * np.interp(np.arange(n),
+                                            np.arange(len(m)) * 256, m)
+        sig *= amp_mod
+    sig += 0.004 * rng.normal(size=n)
+    sig = 0.35 * sig / np.max(np.abs(sig))
+
+    n_frames = int(n / SR * 1000.0 / FRAME_PERIOD) + 1
+    idx = np.minimum((np.arange(n_frames) * FRAME_PERIOD / 1000.0 * SR).astype(int),
+                     n - 1)
+    return sig, f0[idx]
+
+
+def _octave_error_rate(est, true):
+    """Fraction of voiced frames whose estimate is a halving/doubling."""
+    voiced = (true > 0) & (est > 0)
+    r = est[voiced] / true[voiced]
+    return float(np.mean((np.abs(r - 0.5) < 0.1) | (np.abs(r - 2.0) < 0.25)))
+
+
+def _accuracy(est, true, lo=4, hi=-4):
+    est, true = est[lo:hi], true[lo:hi]
+    voiced = (true > 0) & (est > 0)
+    err = np.abs(est[voiced] - true[voiced]) / true[voiced]
+    return np.median(err), _octave_error_rate(est, true)
+
+
+def test_low_pitch_creaky_no_octave_errors():
+    """Creaky low voice (72->92 Hz glide, 2.5% jitter + shimmer): DIO's
+    classic halving-bias case. Median error < 3%, zero octave errors."""
+    sig, true = synth_vocal(lambda t: 72.0 + 20.0 * t / t[-1], 1.4,
+                            jitter=0.025, shimmer=0.1, seed=3)
+    est = extract_f0(sig, SR, FRAME_PERIOD, use_native=False)
+    med, octave_rate = _accuracy(est, true)
+    assert med < 0.03, med
+    assert octave_rate == 0.0, octave_rate
+
+
+def test_high_pitch_no_octave_errors():
+    """High voice (300->380 Hz): doubling-bias case."""
+    sig, true = synth_vocal(lambda t: 300.0 + 80.0 * t / t[-1], 1.2, seed=4)
+    est = extract_f0(sig, SR, FRAME_PERIOD, use_native=False)
+    med, octave_rate = _accuracy(est, true)
+    assert med < 0.02, med
+    assert octave_rate == 0.0, octave_rate
+
+
+def test_octave_jump_tracked():
+    """An F0 step 130 -> 260 Hz mid-vowel must be tracked on BOTH sides of
+    the jump (a halving-locked tracker keeps reporting 130)."""
+    def f0_fn(t):
+        return np.where(t < t[-1] / 2, 130.0, 260.0)
+
+    sig, true = synth_vocal(f0_fn, 1.6, seed=5)
+    est = extract_f0(sig, SR, FRAME_PERIOD, use_native=False)
+    n = len(true)
+    for sl in (slice(6, n // 2 - 6), slice(n // 2 + 6, n - 6)):
+        voiced = (true[sl] > 0) & (est[sl] > 0)
+        assert voiced.sum() > 0.6 * (sl.stop - sl.start)
+        err = np.abs(est[sl][voiced] - true[sl][voiced]) / true[sl][voiced]
+        assert np.median(err) < 0.03, (sl, np.median(err))
+    assert _octave_error_rate(est, true) < 0.02
+
+
+def test_f0_battery_native_matches_numpy():
+    """The C++ extension agrees with the numpy path on the battery cases."""
+    try:
+        from masg_tpu.audio.f0_native import _load
+
+        _load()
+    except Exception:
+        pytest.skip("native f0 extension not built")
+    sig, _ = synth_vocal(lambda t: 72.0 + 20.0 * t / t[-1], 1.0,
+                         jitter=0.025, seed=3)
+    a = extract_f0(sig, SR, FRAME_PERIOD, use_native=False)
+    b = extract_f0(sig, SR, FRAME_PERIOD, use_native=True)
+    voiced = (a > 0) & (b > 0)
+    assert voiced.sum() > 0.5 * len(a)
+    np.testing.assert_allclose(b[voiced], a[voiced], rtol=0.02)
