@@ -248,3 +248,65 @@ def test_rng_impl_rbg_step():
     _, m3 = step_tf(state, sb, jax.random.PRNGKey(0))
     # same batch, different dropout streams: close but not required equal
     np.testing.assert_allclose(float(m1.total), float(m3.total), rtol=0.2)
+
+
+def test_ganlike_discriminator_learns_language():
+    """weak #4 (r1): the adversarial branch must DO something, not just
+    execute. Joint ganlike training on synthetic batches where language
+    correlates with mel content: the discriminator's BCE (dloss) must drop
+    well below its random-guess starting point as the schedule ramps."""
+    from masg_tpu.models.speaker_encoder import SpeechEmbedder
+    from masg_tpu.train.state import TrainState
+    from masg_tpu.train.step import make_ganlike_train_step
+
+    cfg = tiny_config()
+    cfg.train.optimizer.warm_up_step = 10
+    rng = np.random.default_rng(0)
+    b = make_batch(rng, B=8)
+    # language-dependent mel targets: ja mels ride +1, en mels -1, so the
+    # generator (teacher-forced toward these) emits language-separable mels
+    lang = (np.arange(8) % 2).astype(np.float32)
+    meta = np.zeros((8, 4), np.float32)
+    meta[:, 0] = 1.0
+    meta[np.arange(8), 2 + (np.arange(8) % 2)] = 1.0
+    b["speaker_meta"] = jnp.asarray(meta)
+    mels = np.asarray(b["mels"]).copy()
+    mels += (1.0 - 2.0 * lang)[:, None, None]
+    b["mels"] = jnp.asarray(mels)
+
+    model = FastSpeech2.from_config(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), b["speakers"], b["texts"], b["src_lens"],
+        b["max_mel_len"], mel_lens=b["mel_lens"], p_targets=b["p_targets"],
+        e_targets=b["e_targets"], d_targets=b["d_targets"],
+        accents=b["accents"], speaker_meta=b["speaker_meta"],
+    )
+    disc = SpeechEmbedder(n_mels=80, hidden=64, n_layers=2, proj=32)
+    disc_vars = disc.init(jax.random.PRNGKey(1), jnp.zeros((2, 150, 80)))
+
+    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params={"model": variables["params"],
+                "discriminator": disc_vars["params"]},
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+    # total_step tiny -> the sigmoid schedule weight is ~1 from the start
+    step_fn = jax.jit(make_ganlike_train_step(
+        model, disc, lambd=5.0, total_step=10))
+
+    sb = to_step_batch(b)
+    key = jax.random.PRNGKey(2)
+    dlosses = []
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        state, m = step_fn(state, sb, sub)
+        dlosses.append(float(m.dloss))
+    n_chunks = int(np.ceil((int(b["max_mel_len"]) // 150 + 1)))
+    per_item0 = np.mean(dlosses[:5]) / (8 * n_chunks)
+    per_item1 = np.mean(dlosses[-5:]) / (8 * n_chunks)
+    # random guessing is ln(2)=0.693 BCE per chunk (w/ label jitter it floats
+    # around there); a learning discriminator must at least halve it
+    assert per_item1 < per_item0 * 0.5, (per_item0, per_item1, dlosses[::10])
+    assert np.isfinite(dlosses).all()
