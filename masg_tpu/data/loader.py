@@ -32,6 +32,17 @@ class GroupedLoader:
         assert batch_size * group_size < len(dataset) or drop_last is False, (
             "dataset smaller than one mega-batch"
         )
+        # collate() splits chunks by the DATASET's own batch_size; if that
+        # disagrees with the loader's and the dataset drops sub-batch tails,
+        # every chunk smaller than the dataset's batch_size vanishes
+        # silently (possibly ALL of them). Fail loudly instead.
+        ds_bs = getattr(dataset, "batch_size", None)
+        if (ds_bs is not None and ds_bs != batch_size
+                and getattr(dataset, "drop_last", False)):
+            raise ValueError(
+                f"loader batch_size={batch_size} != dataset batch_size="
+                f"{ds_bs} with dataset drop_last=True: collate would drop "
+                f"chunks silently")
         self.dataset = dataset
         self.batch_size = batch_size
         self.group_size = group_size

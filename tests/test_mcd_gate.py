@@ -1,9 +1,23 @@
 """MCD quality gate (VERDICT r1 item 6): train the synthetic corpus to
-convergence, synthesize val items with ground-truth durations, and assert
-mel-cepstral distortion vs the GT mels under a committed threshold — the
-north-star fidelity metric (BASELINE.md) produced by the framework itself.
+convergence and assert teacher-forced mel-cepstral distortion under
+committed, chip-calibrated thresholds — the north-star fidelity metric
+(BASELINE.md) produced by the framework itself.
 
-Slow-gated: ~1-2k tiny-model steps on CPU. Run with MASG_SLOW_TESTS=1.
+Thresholds come from scripts/calibrate_mcd.py on the real TPU v5e
+(2026-08-17, 4 speakers x 25 utts, batch 8):
+
+    untrained baseline: train 186.3 dB, val 186.2 dB
+    step 1000: train mean 22.2 (max 30.0) | val mean 33.5 (max 45.2)
+    step 1500: train mean 21.3 (max 26.6) | val mean 33.4 (max 42.7)
+    step 3000: train mean 14.2 (max 17.8) | val mean 34.0 (max 44.2)
+
+Absolute values are far above natural-speech MCD lore because the synthetic
+corpus is nearly line-spectral (pure harmonic tones against the log(1e-5)
+floor): a one-mel-bin harmonic misplacement costs several dB. Train-item MCD
+measures fit fidelity (keeps falling); val-item MCD hits the generalization
+floor of a 100-utterance corpus (~34 dB) and gates regressions, not quality.
+
+Slow-gated: ~1500 tiny-model steps on CPU. Run with MASG_SLOW_TESTS=1.
 """
 
 import os
@@ -14,28 +28,12 @@ import pytest
 SLOW = os.environ.get("MASG_SLOW_TESTS") == "1"
 
 
-@pytest.mark.slow
-@pytest.mark.skipif(not SLOW, reason="trains to convergence (~2-4 min CPU); "
-                                     "set MASG_SLOW_TESTS=1")
-def test_synthetic_convergence_mcd_gate(tmp_path):
-    from masg_tpu.core.config import load_config_dir
-    from masg_tpu.data.synthetic import build_synthetic_experiment_dir
-    from masg_tpu.train.loop import build_experiment
+def teacher_forced_mcd(trainer, dataset):
+    from masg_tpu.data.loader import GroupedLoader
     from masg_tpu.utils.mcd import mcd
 
-    cfg_dir = build_synthetic_experiment_dir(
-        str(tmp_path), n_speakers=2, utts_per_speaker=10, batch_size=8,
-        group_size=1, total_step=1500, log_step=500, val_step=10**9,
-        synth_step=10**9, save_step=10**9, warm_up_step=100)
-    cfg = load_config_dir(cfg_dir)
-    trainer = build_experiment(cfg, n_devices=1)
-    trainer.fit(max_steps=1500, verbose=True)
-
-    # teacher-forced val forward: GT durations drive the length regulator,
-    # MCD compares predicted vs GT mels frame-aligned (no DTW needed)
-    from masg_tpu.data.loader import GroupedLoader
-
-    loader = GroupedLoader(trainer.val_dataset, batch_size=4, group_size=1,
+    bs = getattr(dataset, "batch_size", 4)
+    loader = GroupedLoader(dataset, batch_size=bs, group_size=1,
                            shuffle=False)
     scores = []
     for group in loader:
@@ -48,10 +46,38 @@ def test_synthetic_convergence_mcd_gate(tmp_path):
                 n = int(np.asarray(out.mel_len)[i])
                 if n > 8:
                     scores.append(mcd(pred[i, :n], gt[i, :n]))
-    assert scores, "no val items scored"
-    mean_mcd = float(np.mean(scores))
-    print(f"val MCD vs GT mels after 1500 steps: {mean_mcd:.3f} dB "
-          f"({len(scores)} items, max {np.max(scores):.3f})")
-    # committed gate: calibrated on this corpus/model (see BASELINE.md);
-    # an un-trained model scores >> 10 dB, a converged one well under this
-    assert mean_mcd < 5.0, mean_mcd
+    assert scores, "no items scored"
+    return float(np.mean(scores))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not SLOW, reason="trains to convergence (~3-6 min CPU); "
+                                     "set MASG_SLOW_TESTS=1")
+def test_synthetic_convergence_mcd_gate(tmp_path):
+    from masg_tpu.core.config import load_config_dir
+    from masg_tpu.data.synthetic import build_synthetic_experiment_dir
+    from masg_tpu.train.loop import build_experiment
+
+    cfg_dir = build_synthetic_experiment_dir(
+        str(tmp_path), n_speakers=4, utts_per_speaker=25, batch_size=8,
+        group_size=1, total_step=1500, log_step=500, val_step=10**9,
+        synth_step=10**9, save_step=10**9, warm_up_step=100)
+    cfg = load_config_dir(cfg_dir)
+    trainer = build_experiment(cfg, n_devices=1)
+
+    untrained = teacher_forced_mcd(trainer, trainer.train_loader.dataset)
+    assert untrained > 100.0, untrained  # the gate must have headroom
+
+    trainer.fit(max_steps=1500, verbose=True)
+
+    train_mcd = teacher_forced_mcd(trainer, trainer.train_loader.dataset)
+    val_mcd = teacher_forced_mcd(trainer, trainer.val_dataset)
+    print(f"MCD gate: untrained {untrained:.1f} dB -> train {train_mcd:.2f}, "
+          f"val {val_mcd:.2f}")
+
+    # calibrated 21.3 / 33.4 at step 1500 on the chip; margins cover
+    # CPU-vs-TPU numerics and corpus-seed variation
+    assert train_mcd < 27.0, train_mcd
+    assert val_mcd < 45.0, val_mcd
+    # and the gate is meaningful: at least ~6x below the untrained baseline
+    assert train_mcd < untrained / 6.0, (train_mcd, untrained)

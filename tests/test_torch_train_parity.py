@@ -64,27 +64,30 @@ def _import_ref_ge2e():
     class _Dot(dict):
         __getattr__ = dict.__getitem__
 
+    # discriminator sized down from production (256x3/64): the parity test
+    # exercises the BCE/schedule/chunking SEMANTICS, and the f64 CPU compile
+    # of the full-size LSTM dominated the test's wall time
     hp = _Dot(
         data=_Dot(nmels=80, tisv_frame=150, sr=22050, hop=256, window=1024,
                   nfft=1024),
-        model=_Dot(architecture="LSTM", hidden=256, num_layer=3, proj=64,
+        model=_Dot(architecture="LSTM", hidden=64, num_layer=2, proj=32,
                    da=True, da_on="language", da_startpoint=0.0, loss="softmax"),
         train=_Dot(N=4, M=3),
     )
-    if "refge2e" not in sys.modules:
-        pkg = types.ModuleType("refge2e")
+    if "refge2e_small" not in sys.modules:
+        pkg = types.ModuleType("refge2e_small")
         pkg.__path__ = [REF_GE2E]
-        sys.modules["refge2e"] = pkg
-        hparam_mod = types.ModuleType("refge2e.hparam")
+        sys.modules["refge2e_small"] = pkg
+        hparam_mod = types.ModuleType("refge2e_small.hparam")
         hparam_mod.hparam = hp
-        sys.modules["refge2e.hparam"] = hparam_mod
-        utils_mod = types.ModuleType("refge2e.utils")
+        sys.modules["refge2e_small.hparam"] = hparam_mod
+        utils_mod = types.ModuleType("refge2e_small.utils")
         utils_mod.get_similarity = None
         utils_mod.get_contrast_loss = None
         utils_mod.get_softmax_loss = None
         utils_mod.count_label = lambda hp: 1
-        sys.modules["refge2e.utils"] = utils_mod
-    return importlib.import_module("refge2e.speech_embedder_net")
+        sys.modules["refge2e_small.utils"] = utils_mod
+    return importlib.import_module("refge2e_small.speech_embedder_net")
 
 
 def _ref_configs(tmpdir):
@@ -331,8 +334,8 @@ def _jax_trajectory(batches, grad_acc_step, total_step, init_sd,
         if use_clf:
             from masg_tpu.train.loop import convert_torch_ge2e
 
-            disc = SpeechEmbedder(n_mels=80, hidden=256, n_layers=3, proj=64,
-                                  dtype=jnp.float64)
+            disc = SpeechEmbedder(n_mels=80, hidden=64, n_layers=2, proj=32,
+                                  dtype=jnp.float64)  # matches _import_ref_ge2e hp
             disc_params = to64(convert_torch_ge2e(disc_sd, disc))
 
         step_fn = jax.jit(make_train_step(
