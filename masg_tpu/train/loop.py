@@ -502,7 +502,14 @@ def build_experiment(
         e_targets=pb["energies"], d_targets=pb["durations"], accents=pb["accents"],
         speaker_meta=pb["speaker_meta"],
     )
-    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+    # ganlike nests params as {"model", "discriminator"}; the reference clips
+    # only model.parameters() there while its single optimizer updates both
+    # (train_ganlike.py:85,173) — scope the clip to match. LSTM-bearing
+    # variants (ganlike discriminator, JDIT teacher) get the two-bias Adam
+    # compat so update dynamics match torch's nn.LSTM/LSTMCell exactly.
+    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden,
+                        clip_subtree="model" if ganlike else None,
+                        torch_lstm_bias_compat=ganlike or cfg.model.jdit.use_jdit)
 
     discriminator = discriminator_params = None
     if use_clf or ganlike:

@@ -94,10 +94,31 @@ def scale_by_adam_torch(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def clip_by_global_norm_torch(max_norm: float) -> optax.GradientTransformation:
+def _is_lstm_bias_path(path) -> bool:
+    """True for the folded bias of an LSTM cell (torch carries it as TWO
+    parameters, bias_ih + bias_hh, which always see identical gradients)."""
+    keys = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+    return (any("lstm" in k.lower() for k in keys)
+            and bool(keys) and keys[-1] == "bias")
+
+
+def clip_by_global_norm_torch(
+    max_norm: float, subtree: str = None, lstm_bias_double_count: bool = False
+) -> optax.GradientTransformation:
     """torch.nn.utils.clip_grad_norm_'s exact semantics (reference
     train.py:202): coef = max_norm / (norm + 1e-6), clamped to 1.0, applied
-    unconditionally. optax.clip_by_global_norm omits the 1e-6 fudge."""
+    unconditionally. optax.clip_by_global_norm omits the 1e-6 fudge.
+
+    `subtree` restricts BOTH the norm and the scaling to updates[subtree]:
+    the reference's ganlike trainer clips `model.parameters()` only — the
+    FS2 half — while its single ScheduledOptim also updates the (unclipped)
+    discriminator (train_ganlike.py:85,173).
+
+    `lstm_bias_double_count`: torch's global norm sums the squared gradient
+    of bias_ih AND bias_hh (identical values) per LSTM cell; our folded
+    single-bias cells must count that contribution twice to clip at the same
+    point (only matters when an LSTM — JDIT teacher — is inside the clipped
+    tree AND the clip binds)."""
 
     def init_fn(params):
         del params
@@ -105,9 +126,51 @@ def clip_by_global_norm_torch(max_norm: float) -> optax.GradientTransformation:
 
     def update_fn(updates, state, params=None):
         del params
-        norm = optax.global_norm(updates)
+        tree = updates[subtree] if subtree else updates
+        norm_sq = optax.global_norm(tree) ** 2
+        if lstm_bias_double_count:
+            sq = jax.tree_util.tree_map_with_path(
+                lambda path, g: jnp.sum(g * g)
+                if _is_lstm_bias_path(path) else jnp.zeros((), g.dtype),
+                tree,
+            )
+            norm_sq = norm_sq + jax.tree_util.tree_reduce(jnp.add, sq)
+        norm = jnp.sqrt(norm_sq)
         coef = jnp.minimum(max_norm / (norm + 1e-6), 1.0)
-        return jax.tree.map(lambda g: g * coef.astype(g.dtype), updates), state
+        scaled = jax.tree.map(lambda g: g * coef.astype(g.dtype), tree)
+        if subtree:
+            out = dict(updates)
+            out[subtree] = scaled
+            return out, state
+        return scaled, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def double_lstm_bias_updates() -> optax.GradientTransformation:
+    """torch two-bias LSTM compat: scale post-Adam updates on LSTM-cell bias
+    leaves by 2.
+
+    torch's nn.LSTM carries separate `bias_ih`/`bias_hh` per gate; both enter
+    the cell additively, so they ALWAYS receive identical gradients, identical
+    Adam moments, and identical per-step updates — their SUM therefore moves
+    by 2x the single-parameter Adam step. Our flax cells fold the two into one
+    bias (forward-identical), so exact training parity with the reference's
+    joint ganlike optimizer (train_ganlike.py:85 `ScheduledOptim(ganlike,...)`
+    over the discriminator's nn.LSTM) requires doubling the folded bias's
+    update. Exact whenever weight_decay == 0 (all reference configs)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, u: u * 2.0 if _is_lstm_bias_path(path) else u,
+            updates,
+        ), state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -134,12 +197,16 @@ def noam_schedule(
     return schedule
 
 
-def make_optimizer(opt_cfg: OptimizerConfig, d_model: int) -> optax.GradientTransformation:
+def make_optimizer(
+    opt_cfg: OptimizerConfig, d_model: int, clip_subtree: str = None,
+    torch_lstm_bias_compat: bool = False,
+) -> optax.GradientTransformation:
     sched = noam_schedule(
         d_model, opt_cfg.warm_up_step, opt_cfg.anneal_steps, opt_cfg.anneal_rate
     )
     tx = optax.chain(
-        clip_by_global_norm_torch(opt_cfg.grad_clip_thresh),
+        clip_by_global_norm_torch(opt_cfg.grad_clip_thresh, clip_subtree,
+                                  lstm_bias_double_count=torch_lstm_bias_compat),
         # torch Adam's weight_decay is L2-into-gradient (BEFORE the Adam
         # moments), not AdamW-style decoupled decay — keep that placement
         # (reference configs all use 0.0, but semantics should match anyway)
@@ -149,6 +216,10 @@ def make_optimizer(opt_cfg: OptimizerConfig, d_model: int) -> optax.GradientTran
         scale_by_adam_torch(
             b1=opt_cfg.betas[0], b2=opt_cfg.betas[1], eps=opt_cfg.eps
         ),
+        # ganlike only: the discriminator's LSTM biases (see docstring)
+        double_lstm_bias_updates()
+        if torch_lstm_bias_compat
+        else optax.identity(),
         optax.scale_by_learning_rate(sched),
     )
     if opt_cfg.grad_acc_step > 1:

@@ -221,13 +221,21 @@ def make_ganlike_train_step(
         chunks = chunk_mels(out_x.mel, 150)
         n_chunks = chunks.shape[0] // bsz
         langs = jnp.repeat(batch["speaker_meta"][reorder][:, lang_meta_index], n_chunks)
-        # label jitter (train_ganlike.py:163)
-        langs = langs + jax.random.uniform(rng_jit, langs.shape)
+        # label jitter (train_ganlike.py:163); tests may inject the jitter
+        # draw (torch-trajectory parity needs the reference's torch.rand)
+        jitter = batch.get("lang_jitter")
+        if jitter is None:
+            jitter = jax.random.uniform(rng_jit, langs.shape)
+        langs = langs + jitter
         disc_out = discriminator.apply(
             {"params": params["discriminator"]}, chunks, deterministic=True
         )
         dloss = bce_with_logits_sum(disc_out["da_lang_logits"], langs)
         sched = 2.0 / (1.0 + jnp.exp(-10.0 * ((step + 1.0) / total_step))) - 1.0
+        # NOTE: under grad accumulation the reference scales total/eloss by
+        # 1/k but NOT dloss (train_ganlike.py:155,160,167) — an asymmetry
+        # that never fires (every shipped config uses grad_acc_step: 1).
+        # The fused step scales all three uniformly.
         total = total + dloss * sched * lambd / langs.shape[0]
 
         metrics = StepMetrics(

@@ -129,7 +129,7 @@ def test_two_stage_workflow_torch_format(chunks_dir, fs2_experiment, tmp_path):
     from masg_tpu.models.speaker_encoder import SpeechEmbedder
     from masg_tpu.train.loop import build_experiment, convert_torch_ge2e
 
-    net_mod = _import_ref_ge2e()
+    net_mod = _import_ref_ge2e(hidden=256, num_layer=3, proj=64)  # production size
     torch.manual_seed(7)
     net = net_mod.SpeechEmbedder()
     ckpt_path = str(tmp_path / "embedder.pth")

@@ -57,37 +57,46 @@ def _import_ref(name):
     return importlib.import_module(f"refmodel.{name}")
 
 
-def _import_ref_ge2e():
+def _import_ref_ge2e(hidden=64, num_layer=2, proj=32):
     """Reference SpeechEmbedder with the hardcoded-path hparam stubbed (same
-    shim as test_ge2e_torch_parity.py)."""
+    shim as test_ge2e_torch_parity.py). One module alias PER SIZE: the
+    reference module captures hp at import, so different sizes must never
+    share sys.modules entries (and neither must test_ge2e_torch_parity's
+    production-sized 'refge2e' stub — that collision broke full-suite runs).
+
+    The parity tests default to a discriminator sized down from production
+    (256x3/64): they exercise the BCE/schedule/chunking SEMANTICS, and the
+    f64 CPU compile of the full-size LSTM dominated their wall time."""
 
     class _Dot(dict):
         __getattr__ = dict.__getitem__
 
-    # discriminator sized down from production (256x3/64): the parity test
-    # exercises the BCE/schedule/chunking SEMANTICS, and the f64 CPU compile
-    # of the full-size LSTM dominated the test's wall time
     hp = _Dot(
         data=_Dot(nmels=80, tisv_frame=150, sr=22050, hop=256, window=1024,
                   nfft=1024),
-        model=_Dot(architecture="LSTM", hidden=64, num_layer=2, proj=32,
-                   da=True, da_on="language", da_startpoint=0.0, loss="softmax"),
+        model=_Dot(architecture="LSTM", hidden=hidden, num_layer=num_layer,
+                   proj=proj, da=True, da_on="language", da_startpoint=0.0,
+                   loss="softmax"),
         train=_Dot(N=4, M=3),
     )
-    if "refge2e_small" not in sys.modules:
-        pkg = types.ModuleType("refge2e_small")
+    alias = f"refge2e_{hidden}x{num_layer}p{proj}"
+    if alias not in sys.modules:
+        pkg = types.ModuleType(alias)
         pkg.__path__ = [REF_GE2E]
-        sys.modules["refge2e_small"] = pkg
-        hparam_mod = types.ModuleType("refge2e_small.hparam")
+        sys.modules[alias] = pkg
+        hparam_mod = types.ModuleType(f"{alias}.hparam")
         hparam_mod.hparam = hp
-        sys.modules["refge2e_small.hparam"] = hparam_mod
-        utils_mod = types.ModuleType("refge2e_small.utils")
-        utils_mod.get_similarity = None
-        utils_mod.get_contrast_loss = None
-        utils_mod.get_softmax_loss = None
+        sys.modules[f"{alias}.hparam"] = hparam_mod
+        utils_mod = types.ModuleType(f"{alias}.utils")
+        # cheap fakes: GE2ELoss computes these on its similarity path, but
+        # the ganlike trainer discards that output and backprops only the
+        # BCE da_loss (train_ganlike.py:164-167), so zeros change nothing
+        utils_mod.get_similarity = lambda e: torch.zeros(())
+        utils_mod.get_contrast_loss = lambda s: s * 0
+        utils_mod.get_softmax_loss = lambda s: s * 0
         utils_mod.count_label = lambda hp: 1
-        sys.modules["refge2e_small.utils"] = utils_mod
-    return importlib.import_module("refge2e_small.speech_embedder_net")
+        sys.modules[f"{alias}.utils"] = utils_mod
+    return importlib.import_module(f"{alias}.speech_embedder_net")
 
 
 def _ref_configs(tmpdir):
@@ -461,5 +470,186 @@ def test_training_trajectory_parity_use_clf(no_dropout, tmp_path):
     our_traj, _ = _jax_trajectory(
         batches, 1, total_step, init_sd, use_clf=True, disc_sd=disc_sd,
         lambd=1.0)
+    _assert_traj_match(ref_traj, our_traj, rtol=1e-5)
+    assert any(r["dloss"] != 0.0 for r in ref_traj)
+
+
+def _torch_ganlike_trajectory(batches, total_step, lambd, tmpdir, seed=0):
+    """Replicates train_ganlike.py:140-175 + model/ganlike.py:10-45: joint
+    FS2+discriminator under ONE ScheduledOptim, speaker-shuffled second
+    forward, 150-frame chunking, jittered-label BCE (dloss NOT divided by
+    grad_acc_step — moot at k=1), clip on FS2 params only."""
+    import math
+
+    fs2_mod = _import_ref("fastspeech2")
+    loss_mod = _import_ref("loss")
+    opt_mod = _import_ref("optimizer")
+    net_mod = _import_ref_ge2e()
+    pre, mdl = _ref_configs(tmpdir)
+
+    torch.manual_seed(seed)
+    model = fs2_mod.FastSpeech2(pre, mdl, tmpdir).double()
+    torch.manual_seed(seed + 100)
+    disc = net_mod.SpeechEmbedder().double()
+    model.train()
+    disc.train()
+    Loss = loss_mod.FastSpeech2Loss(pre, mdl)
+    eLoss = loss_mod.SpeakerMetaEncLoss(pre, mdl)
+    dLoss = net_mod.GE2ELoss("cpu")
+
+    wrapper = torch.nn.Module()  # ScheduledOptim(ganlike) sees both halves
+    wrapper.add_module("model", model)
+    wrapper.add_module("discriminator", disc)
+    train_cfg = {"optimizer": {"betas": [0.9, 0.98], "eps": EPS,
+                               "weight_decay": 0.0, "warm_up_step": WARMUP,
+                               "anneal_steps": [300000, 400000, 500000],
+                               "anneal_rate": 0.3}}
+    optim = opt_mod.ScheduledOptim(wrapper, train_cfg, mdl, current_step=0)
+
+    traj = []
+    step = 1
+    for b in batches:
+        batch = (
+            None, None, torch.from_numpy(b["speakers"]),
+            torch.from_numpy(b["texts"]), torch.from_numpy(b["src_lens"]), L,
+            torch.from_numpy(b["mels"]), torch.from_numpy(b["mel_lens"]), T,
+            torch.from_numpy(b["pitches"]), torch.from_numpy(b["energies"]),
+            torch.from_numpy(b["durations"]),
+        )
+        accents = torch.from_numpy(b["accents"])
+        speaker_meta = torch.from_numpy(b["meta"])
+
+        # === GANLike.forward (model/ganlike.py:18-45), shuffle injected ===
+        output = model(*(batch[2:]), accents=accents,
+                       speaker_meta=speaker_meta)
+        reorder = list(b["reorder"])
+        speakers = torch.stack([batch[2][reorder[i]] for i in range(B)])
+        meta_sh = torch.stack([speaker_meta[reorder[i]] for i in range(B)])
+        _batch = batch[:2] + (speakers,) + batch[3:]
+        output2 = model(*(_batch[2:]), accents=accents, speaker_meta=meta_sh)
+        max_len = output2[0].shape[1]
+        max_len_r = max_len // 150 + 1
+        n_mels = output2[0].shape[2]
+        batch_r_m = torch.cat(
+            [output2[0], torch.zeros(B, max_len_r * 150 - max_len, n_mels,
+                                     dtype=output2[0].dtype)], dim=1
+        ).view(B * max_len_r, 150, n_mels)
+        langs = meta_sh[:, 2].view(-1, 1).repeat(1, max_len_r).view(-1)
+        orig_float = torch.Tensor.float
+        torch.Tensor.float = lambda self: self  # keep f64 (see use_clf test)
+        try:
+            output_r = disc(batch_r_m)
+        finally:
+            torch.Tensor.float = orig_float
+
+        # === train_ganlike.py:145-175 ===
+        losses = Loss(batch, output[:-2])
+        losses[0].backward()
+        eloss = eLoss(output[-1], output[-2])
+        (-eloss).backward()
+        langs = langs + torch.from_numpy(b["lang_jitter"])  # :163, injected
+        _, _, dloss = dLoss(
+            output_r.get("embeddings").view(B * max_len_r, 1, -1),
+            output_r.get("da_lang_logits"), langs)
+        dloss_ = dloss * (2 / (1 + math.exp(-10 * (step / total_step))) - 1) / len(langs)
+        (dloss_ * lambd).backward()
+
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)  # FS2 ONLY
+        optim.step_and_update_lr()
+        optim.zero_grad()
+        traj.append({"total": float(losses[0]), "mel": float(losses[1]),
+                     "postnet_mel": float(losses[2]), "pitch": float(losses[3]),
+                     "energy": float(losses[4]), "duration": float(losses[5]),
+                     "eloss": float(eloss), "dloss": float(dloss)})
+        step += 1
+    return traj
+
+
+def test_training_trajectory_parity_ganlike(no_dropout, tmp_path):
+    """train_ganlike.py parity: the joint FS2+discriminator update — one
+    Noam Adam over both, FS2-only gradient clip, jittered-label BCE — must
+    produce the same loss trajectory as our fused ganlike step."""
+    import jax
+
+    total_step = 100
+    batches = _make_batches(5, seed=3)
+    rng = np.random.default_rng(7)
+    for b in batches:
+        R = T // 150 + 1
+        b["lang_jitter"] = rng.uniform(size=B * R)
+
+    ref_traj = _torch_ganlike_trajectory(
+        batches, total_step, lambd=1.0, tmpdir=str(tmp_path))
+
+    # identical inits for conversion
+    fs2_mod = _import_ref("fastspeech2")
+    net_mod = _import_ref_ge2e()
+    pre, mdl = _ref_configs(str(tmp_path))
+    torch.manual_seed(0)
+    init = fs2_mod.FastSpeech2(pre, mdl, str(tmp_path)).double()
+    init_sd = {k: v.numpy().copy() for k, v in init.state_dict().items()}
+    torch.manual_seed(100)
+    disc0 = net_mod.SpeechEmbedder().double()
+    disc_sd = {k: v.detach().numpy().copy() for k, v in disc0.state_dict().items()}
+
+    with jax.enable_x64(True):
+        import jax.numpy as jnp
+
+        from masg_tpu.compat.torch_fs2 import convert_torch_fastspeech2
+        from masg_tpu.models import FastSpeech2
+        from masg_tpu.models.speaker_encoder import SpeechEmbedder
+        from masg_tpu.train.loop import convert_torch_ge2e
+        from masg_tpu.train.optim import make_optimizer
+        from masg_tpu.train.state import TrainState
+        from masg_tpu.train.step import make_ganlike_train_step
+
+        to64 = lambda tree: jax.tree.map(
+            lambda x: x.astype(np.float64)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x, tree)
+
+        cfg = _our_config()
+        params, batch_stats = convert_torch_fastspeech2(
+            init_sd, encoder_layers=2, decoder_layers=2)
+        model = FastSpeech2.from_config(cfg, dtype=jnp.float64)
+        disc = SpeechEmbedder(n_mels=80, hidden=64, n_layers=2, proj=32,
+                              dtype=jnp.float64)
+        disc_params = to64(convert_torch_ge2e(disc_sd, disc))
+
+        tx = make_optimizer(cfg.train.optimizer, 64, clip_subtree="model",
+                            torch_lstm_bias_compat=True)
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params={"model": to64(params), "discriminator": disc_params},
+            batch_stats=to64(batch_stats), tx=tx)
+        step_fn = jax.jit(make_ganlike_train_step(
+            model, disc, lambd=1.0, total_step=total_step))
+
+        our_traj = []
+        key = jax.random.PRNGKey(0)
+        for b in batches:
+            sb = dict(
+                speakers=jnp.asarray(b["speakers"].astype(np.int32)),
+                texts=jnp.asarray(b["texts"].astype(np.int32)),
+                src_lens=jnp.asarray(b["src_lens"].astype(np.int32)),
+                mels=jnp.asarray(b["mels"]),
+                mel_lens=jnp.asarray(b["mel_lens"].astype(np.int32)),
+                pitches=jnp.asarray(b["pitches"]),
+                energies=jnp.asarray(b["energies"]),
+                durations=jnp.asarray(b["durations"].astype(np.int32)),
+                accents=jnp.asarray(b["accents"].astype(np.int32)),
+                speaker_meta=jnp.asarray(b["meta"]),
+                reorder=jnp.asarray(b["reorder"].astype(np.int32)),
+                lang_jitter=jnp.asarray(b["lang_jitter"]),
+            )
+            key, sub = jax.random.split(key)
+            state, m = step_fn(state, sb, sub)
+            our_traj.append({"total": float(m.total), "mel": float(m.mel),
+                             "postnet_mel": float(m.postnet_mel),
+                             "pitch": float(m.pitch),
+                             "energy": float(m.energy),
+                             "duration": float(m.duration),
+                             "eloss": float(m.speaker_prior),
+                             "dloss": float(m.dloss)})
+
     _assert_traj_match(ref_traj, our_traj, rtol=1e-5)
     assert any(r["dloss"] != 0.0 for r in ref_traj)
