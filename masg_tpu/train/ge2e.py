@@ -30,6 +30,25 @@ from ..models.speaker_encoder import (
     ge2e_loss,
     init_ge2e_params,
 )
+from .optim import (
+    clip_by_global_norm_torch,
+    double_lstm_bias_updates,
+    scale_by_adam_torch,
+)
+
+
+def _tx_da() -> optax.GradientTransformation:
+    """The reference's optimizers['da']: torch.optim.Adam(da_parameters(),
+    1e-3, weight_decay=1e-6) with unconditional clip 3.0 before stepping
+    (train_speech_embedder.py:104-112,189-191). ONE shared definition: the
+    per-epoch DA subroutine reuses this optimizer's state (:214), so the main
+    step and the subroutine must agree on its structure."""
+    return optax.chain(
+        clip_by_global_norm_torch(3.0),
+        optax.add_decayed_weights(1e-6),
+        scale_by_adam_torch(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(1e-3),
+    )
 
 
 class SpeakerChunkDataset:
@@ -120,16 +139,41 @@ def make_ge2e_train_step(
     m_utts: int,
     lr: float = 1e-3,
     use_ge2e_backward: bool = True,
-    da_coef_fn=None,
+    da_startpoint: float = 0.0,
+    da_threshold: Optional[float] = None,
 ):
-    """Jitted GE2E step with the reference's per-group optimizers:
-    main (Adam lr, wd 1e-6, clip 3.0), ge2e w/b (Adam lr, clip 1.0),
-    DA head (Adam 1e-3, wd 1e-6, clip 3.0, gated by da_gate)."""
-    tx_main = optax.chain(optax.clip_by_global_norm(3.0),
-                          optax.adamw(lr, weight_decay=1e-6))
-    tx_ge2e = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
-    tx_da = optax.chain(optax.clip_by_global_norm(3.0),
-                        optax.adamw(1e-3, weight_decay=1e-6))
+    """Jitted GE2E step with the reference's exact per-group update math
+    (train_speech_embedder.py:104-112,169-192): torch Adam semantics
+    (scale_by_adam_torch, L2-into-grad decay, +1e-6 clip fudge), main
+    (lr, wd 1e-6, clip 3.0, LSTM two-bias compat), ge2e w/b (lr, clip 1.0),
+    DA head (1e-3, wd 1e-6, clip 3.0).
+
+    The DA gate is per-batch from the CURRENT loss — `da_loss < threshold or
+    progress <= da_startpoint` (:180-182) — and scopes THREE things, matching
+    torch's set_to_none zero_grad (unbackwarded grads are None, so Adam skips
+    those groups entirely, moments frozen): (1) whether da_loss backprops into
+    the trunk at all, (2) the DA group's step, and (3) in the ablation mode
+    (use_ge2e_backward=False, the shipped snapshot's commented-out GE2E
+    backward :181) the main group's step too — da_loss is then its only
+    gradient source. step signature: (state, mels, langs, rng, progress)."""
+    if da_threshold is None:
+        da_threshold = compute_da_threshold(n_speakers, m_utts)
+    tx_main = optax.chain(
+        clip_by_global_norm_torch(3.0, lstm_bias_double_count=True),
+        optax.add_decayed_weights(1e-6),
+        scale_by_adam_torch(b1=0.9, b2=0.999, eps=1e-8),
+        # exact here (not just to O(wd)): the reference zero-inits BOTH torch
+        # LSTM biases (speech_embedder_net.py:74-77), so bias_ih == bias_hh
+        # for the whole trajectory and their Adam+decay updates stay identical
+        double_lstm_bias_updates(),
+        optax.scale_by_learning_rate(lr),
+    )
+    tx_ge2e = optax.chain(
+        clip_by_global_norm_torch(1.0),
+        scale_by_adam_torch(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(lr),
+    )
+    tx_da = _tx_da()
 
     def init_state(rng, sample_mels) -> GE2ETrainState:
         params = embedder.init(rng, jnp.asarray(sample_mels))["params"]
@@ -143,28 +187,43 @@ def make_ge2e_train_step(
             opt_state_da=tx_da.init(da),
         )
 
-    def loss_fn(params, ge2e_params, mels, langs, rng):
+    def loss_fn(params, ge2e_params, mels, langs, rng, progress):
         out = embedder.apply({"params": params}, mels, deterministic=False,
                              rngs={"dropout": rng})
         emb = out["embeddings"].reshape(n_speakers, m_utts, -1)
         total, loss, da = ge2e_loss(ge2e_params, emb, out.get("da_lang_logits"), langs)
-        objective = (loss if use_ge2e_backward else 0.0) + da
-        return objective, (loss, da)
+        gate = jnp.logical_or(jax.lax.stop_gradient(da) < da_threshold,
+                              progress <= da_startpoint)
+        objective = (loss if use_ge2e_backward else 0.0) + gate * da
+        return objective, (loss, da, gate)
 
     @jax.jit
-    def step(state: GE2ETrainState, mels, langs, rng, da_gate):
-        (_, (loss, da)), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
-                                                    has_aux=True)(
-            state.embedder_params, state.ge2e, mels, langs, rng
+    def step(state: GE2ETrainState, mels, langs, rng, progress):
+        (_, (loss, da, gate)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+            state.embedder_params, state.ge2e, mels, langs, rng, progress
         )
         gp, gg = grads
         g_main, g_da = _split_da(gp)
         p_main, p_da = _split_da(state.embedder_params)
 
-        upd_m, os_main = tx_main.update(g_main, state.opt_state_main, p_main)
-        p_main = optax.apply_updates(p_main, upd_m)
-        upd_g, os_ge2e = tx_ge2e.update(gg, state.opt_state_ge2e, state.ge2e)
-        ge2e_new = optax.apply_updates(state.ge2e, upd_g)
+        def do_main(args):
+            p, os_ = args
+            upd, os2 = tx_main.update(g_main, os_, p)
+            return optax.apply_updates(p, upd), os2
+
+        if use_ge2e_backward:
+            # loss grads always exist -> main/ge2e step every batch
+            p_main, os_main = do_main((p_main, state.opt_state_main))
+            upd_g, os_ge2e = tx_ge2e.update(gg, state.opt_state_ge2e, state.ge2e)
+            ge2e_new = optax.apply_updates(state.ge2e, upd_g)
+        else:
+            # ablation: main's only grads come through the gated da_loss;
+            # ge2e's w/b NEVER get grads (torch leaves them None -> skipped)
+            p_main, os_main = jax.lax.cond(
+                gate, do_main, lambda a: a, (p_main, state.opt_state_main)
+            )
+            ge2e_new, os_ge2e = state.ge2e, state.opt_state_ge2e
 
         def do_da(args):
             p_da, os_da = args
@@ -172,7 +231,7 @@ def make_ge2e_train_step(
             return optax.apply_updates(p_da, upd_d), os_da2
 
         p_da, os_da = jax.lax.cond(
-            da_gate, do_da, lambda a: a, (p_da, state.opt_state_da)
+            gate, do_da, lambda a: a, (p_da, state.opt_state_da)
         )
         params = {**p_main, **p_da}
         return (
@@ -193,21 +252,25 @@ def compute_da_threshold(n: int, m: int, n_labels: int = 1) -> float:
 
 def make_da_subroutine_step(embedder: SpeechEmbedder):
     """DA-classifier-only retraining step (embeddings detached): reference
-    da_classifier_subroutine (train_speech_embedder.py:250-290), run each
-    epoch to keep the language head converged."""
+    da_classifier_subroutine (train_speech_embedder.py:249-288), run each
+    epoch to keep the language head converged. Uses the SAME optimizer
+    definition as the main loop's da group — the reference passes
+    optimizers['da'] in (:214), sharing Adam moments both ways. The model
+    stays in train mode there, so the DA head's dropout is live."""
     from ..models.speaker_encoder import bce_with_logits_sum
 
-    tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(1e-3))
+    tx = _tx_da()
 
-    def loss_fn(da_params, main_params, mels, langs):
+    def loss_fn(da_params, main_params, mels, langs, rng):
         params = {**main_params, **da_params}
         out = embedder.apply({"params": params}, mels, detach=True,
-                             deterministic=True)
+                             deterministic=False, rngs={"dropout": rng})
         return bce_with_logits_sum(out["da_lang_logits"], langs)
 
     @jax.jit
-    def step(da_params, opt_state, main_params, mels, langs):
-        loss, grads = jax.value_and_grad(loss_fn)(da_params, main_params, mels, langs)
+    def step(da_params, opt_state, main_params, mels, langs, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(da_params, main_params,
+                                                  mels, langs, rng)
         upd, opt_state = tx.update(grads, opt_state, da_params)
         return optax.apply_updates(da_params, upd), opt_state, loss
 
@@ -219,23 +282,29 @@ _DA_STEP_CACHE: dict = {}
 
 def run_da_subroutine(embedder, state: GE2ETrainState, dataset, n_speakers: int,
                       batches: int = 8, max_epochs: int = 10,
-                      verbose: bool = False) -> GE2ETrainState:
+                      verbose: bool = False, rng=None) -> GE2ETrainState:
     """Retrain the DA head to convergence (stops when avg loss < 20 or stops
-    improving, like the reference). The jitted step is cached per embedder so
-    per-epoch calls don't retrace."""
+    improving, like the reference). The da optimizer state is threaded from
+    and back into the train state — the reference shares optimizers['da']
+    between the main loop and this subroutine (train_speech_embedder.py:214).
+    The jitted step is cached per embedder so per-epoch calls don't retrace."""
     key = id(embedder)
     if key not in _DA_STEP_CACHE:
         _DA_STEP_CACHE[key] = make_da_subroutine_step(embedder)
-    tx, step = _DA_STEP_CACHE[key]
+    _, step = _DA_STEP_CACHE[key]
     p_main, p_da = _split_da(state.embedder_params)
-    opt_state = tx.init(p_da)
+    opt_state = state.opt_state_da
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     prev = float("inf")
     for e in range(max_epochs):
         avg = 0.0
         for _ in range(batches):
             mels, langs = dataset.sample_batch(n_speakers, variable_length=False)
+            rng, sub = jax.random.split(rng)
             p_da, opt_state, loss = step(p_da, opt_state, p_main,
-                                         jnp.asarray(mels), jnp.asarray(langs))
+                                         jnp.asarray(mels), jnp.asarray(langs),
+                                         sub)
             avg += float(loss)
         avg /= batches
         if verbose:
@@ -243,7 +312,8 @@ def run_da_subroutine(embedder, state: GE2ETrainState, dataset, n_speakers: int,
         if avg < 20 or avg > prev:
             break
         prev = avg
-    return state._replace(embedder_params={**p_main, **p_da})
+    return state._replace(embedder_params={**p_main, **p_da},
+                          opt_state_da=opt_state)
 
 
 def train_speaker_encoder(
@@ -291,17 +361,16 @@ def train_speaker_encoder(
 
     embedder = SpeechEmbedder(n_mels=n_mels)
     init_state, step = make_ge2e_train_step(
-        embedder, n_speakers, m_utts, lr, use_ge2e_backward
+        embedder, n_speakers, m_utts, lr, use_ge2e_backward,
+        da_startpoint=da_startpoint,
     )
     mels0, _ = ds.sample_batch(n_speakers, variable_length=False)
     rng = jax.random.PRNGKey(seed)
     state = init_state(rng, mels0)
     state = replicate(state, mesh)
 
-    threshold = compute_da_threshold(n_speakers, m_utts)
     os.makedirs(out_dir, exist_ok=True)
     mgr = ocp.CheckpointManager(os.path.abspath(out_dir))
-    da_loss_val = 0.0
 
     for e in range(epochs):
         progress = e / epochs
@@ -310,19 +379,20 @@ def train_speaker_encoder(
             mels, langs = ds.sample_batch(n_speakers, variable_length=False)
             placed = place(mels, langs)
             rng, sub = jax.random.split(rng)
-            da_gate = (da_loss_val < threshold) or (progress <= da_startpoint)
+            # the da gate is computed INSIDE the step from the current
+            # batch's da_loss (reference :180-182) — no host round-trip
             state, loss, da = step(state, placed["m"], placed["l"],
-                                   sub, jnp.asarray(da_gate))
-            da_loss_val = float(da)
+                                   sub, jnp.asarray(progress, jnp.float32))
             total += float(loss)
-            total_da += da_loss_val
+            total_da += float(da)
         if verbose:
             print(f"Epoch {e+1}: avg ge2e {total/batches_per_epoch:.3f} "
                   f"avg da {total_da/batches_per_epoch:.3f}")
         if progress > da_startpoint:
-            # reference retrains the DA classifier each epoch (:250-290)
+            # reference retrains the DA classifier each epoch (:249-288)
+            rng, sub = jax.random.split(rng)
             state = run_da_subroutine(embedder, state, ds, n_speakers,
-                                      batches=batches_per_epoch)
+                                      batches=batches_per_epoch, rng=sub)
         if (e + 1) % checkpoint_interval == 0:
             mgr.save(e + 1, args=ocp.args.StandardSave(
                 {"params": state.embedder_params,
