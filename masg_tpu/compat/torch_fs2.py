@@ -67,6 +67,53 @@ def _variance_predictor(sd, prefix):
     }
 
 
+def _lstm_cell(sd, prefix):
+    """torch nn.LSTMCell -> flax OptimizedLSTMCell params. The two torch
+    biases fold into one (forward-identical; see train/optim.py
+    double_lstm_bias_updates for the matching update-math compat)."""
+    wi = np.asarray(sd[prefix + ".weight_ih"])  # (4H, in)
+    wh = np.asarray(sd[prefix + ".weight_hh"])  # (4H, H)
+    b = np.asarray(sd[prefix + ".bias_ih"]) + np.asarray(sd[prefix + ".bias_hh"])
+    h = wh.shape[1]
+    cell: Dict[str, Any] = {}
+    for gi, g in enumerate(["i", "f", "g", "o"]):  # torch gate order i,f,g,o
+        sl = slice(gi * h, (gi + 1) * h)
+        cell[f"i{g}"] = {"kernel": wi[sl].T}
+        cell[f"h{g}"] = {"kernel": wh[sl].T, "bias": b[sl]}
+    return cell
+
+
+def convert_torch_jdit(sd) -> Dict[str, Any]:
+    """jdit.decoder.* torch keys (reference model/jdit.py:238-520 Tacotron2
+    teacher) -> our models/jdit.py param tree (prenet + memory_layer at the
+    decoder level, everything per-frame under the scanned 'step' module)."""
+    d = "jdit.decoder"
+    return {
+        "decoder": {
+            "prenet": {
+                "linear_0": _lin(sd, f"{d}.prenet.layers.0.linear_layer"),
+                "linear_1": _lin(sd, f"{d}.prenet.layers.1.linear_layer"),
+            },
+            "memory_layer": _lin(
+                sd, f"{d}.attention_layer.memory_layer.linear_layer"),
+            "step": {
+                "attention_rnn": _lstm_cell(sd, f"{d}.attention_rnn"),
+                "decoder_rnn": _lstm_cell(sd, f"{d}.decoder_rnn"),
+                "query_layer": _lin(
+                    sd, f"{d}.attention_layer.query_layer.linear_layer"),
+                "v": _lin(sd, f"{d}.attention_layer.v.linear_layer"),
+                "location_conv": _conv(
+                    sd, f"{d}.attention_layer.location_layer.location_conv.conv"),
+                "location_dense": _lin(
+                    sd,
+                    f"{d}.attention_layer.location_layer.location_dense.linear_layer"),
+                "linear_projection": _lin(sd, f"{d}.linear_projection.linear_layer"),
+                "gate_layer": _lin(sd, f"{d}.gate_layer.linear_layer"),
+            },
+        }
+    }
+
+
 def convert_torch_fastspeech2(
     state_dict: Dict[str, Any],
     encoder_layers: int,
@@ -115,6 +162,9 @@ def convert_torch_fastspeech2(
         }
     params["postnet"] = postnet_p
     batch_stats["postnet"] = postnet_bs
+
+    if "jdit.decoder.attention_rnn.weight_ih" in sd:
+        params["jdit"] = convert_torch_jdit(sd)
 
     if multi_speaker and "speaker_emb.weight" in sd:
         params["speaker_emb"] = {"embedding": sd["speaker_emb.weight"]}

@@ -14,6 +14,14 @@ Faithfulness note: the reference's `attention2duration` (:511-520) indexes
 `encoder_outputs_size[i]` before `i` is bound and accumulates `time_scaler`
 while asserting a frame-count sum — it cannot run as written. We implement
 the evident intent: durations[b, p] = #frames whose alignment argmax is p.
+
+Second reference bug (also corrected here by intent): Decoder.forward applies
+`mask=~get_mask_from_lengths(...)` (jdit.py:437-438), assuming the NVIDIA
+Tacotron2 convention (True at VALID frames) — but the repo's vendored
+utils.tools.get_mask_from_lengths returns True at PADS, so as written the
+teacher attends ONLY to padding and NaNs on full-length utterances. We mask
+pad positions. tests/test_torch_parity.py::test_jdit_forward_parity proves
+bit-parity against the reference decoder with the mask convention corrected.
 """
 
 from __future__ import annotations
@@ -60,13 +68,15 @@ class _DecoderStep(nn.Module):
     @nn.compact
     def __call__(self, carry, frame):
         # constants (memory etc.) ride in the carry unchanged — scanning them
-        # as inputs would materialize a (T, B, L, E) broadcast
-        (ah, ac), (dh, dc), att_w, att_w_cum, att_ctx, memory, processed_memory, pad_mask = carry
+        # as inputs would materialize a (T, B, L, E) broadcast.
+        # flax LSTMCell carry order is (c, h) — h is the Tacotron2
+        # "attention_hidden"/"decoder_hidden" that feeds everything downstream
+        (ac, ah), (dc, dh), att_w, att_w_cum, att_ctx, memory, processed_memory, pad_mask = carry
 
         cell_in = jnp.concatenate([frame, att_ctx], axis=-1)
-        (ah, ac), _ = nn.OptimizedLSTMCell(
+        (ac, ah), _ = nn.OptimizedLSTMCell(
             self.attention_rnn_dim, dtype=self.dtype, name="attention_rnn"
-        )((ah, ac), cell_in)
+        )((ac, ah), cell_in)
         ah = nn.Dropout(self.p_attention_dropout)(ah, deterministic=self.deterministic)
 
         awc = jnp.stack([att_w, att_w_cum], axis=-1)  # (B, L, 2)
@@ -86,16 +96,16 @@ class _DecoderStep(nn.Module):
         att_ctx = jnp.einsum("bl,ble->be", att_w, memory)
         att_w_cum = att_w_cum + att_w
 
-        (dh, dc), _ = nn.OptimizedLSTMCell(
+        (dc, dh), _ = nn.OptimizedLSTMCell(
             self.decoder_rnn_dim, dtype=self.dtype, name="decoder_rnn"
-        )((dh, dc), jnp.concatenate([ah, att_ctx], axis=-1))
+        )((dc, dh), jnp.concatenate([ah, att_ctx], axis=-1))
         dh = nn.Dropout(self.p_decoder_dropout)(dh, deterministic=self.deterministic)
 
         hid_ctx = jnp.concatenate([dh, att_ctx], axis=-1)
         mel_out = nn.Dense(self.n_mels, dtype=self.dtype, name="linear_projection")(hid_ctx)
         gate_out = nn.Dense(1, dtype=self.dtype, name="gate_layer")(hid_ctx)[..., 0]
 
-        carry = ((ah, ac), (dh, dc), att_w, att_w_cum, att_ctx,
+        carry = ((ac, ah), (dc, dh), att_w, att_w_cum, att_ctx,
                  memory, processed_memory, pad_mask)
         return carry, (mel_out, gate_out, att_w)
 

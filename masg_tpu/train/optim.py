@@ -96,10 +96,15 @@ def scale_by_adam_torch(
 
 def _is_lstm_bias_path(path) -> bool:
     """True for the folded bias of an LSTM cell (torch carries it as TWO
-    parameters, bias_ih + bias_hh, which always see identical gradients)."""
+    parameters, bias_ih + bias_hh, which always see identical gradients).
+
+    Matched structurally, not by module name: a flax (Optimized)LSTMCell puts
+    its bias on the h-side gate Denses, so the leaf path ends .../h{i,f,g,o}/
+    bias — this catches cells named anything (speaker-encoder LSTM stacks AND
+    JDIT's attention_rnn/decoder_rnn)."""
     keys = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
-    return (any("lstm" in k.lower() for k in keys)
-            and bool(keys) and keys[-1] == "bias")
+    return (len(keys) >= 2 and keys[-1] == "bias"
+            and keys[-2] in ("hi", "hf", "hg", "ho"))
 
 
 def clip_by_global_norm_torch(

@@ -81,11 +81,12 @@ def no_dropout(monkeypatch):
         torch.nn.functional, "dropout",
         lambda x, p=0.5, training=False, inplace=False: x,
     )
-    orig = fnn.Dropout.__call__
     monkeypatch.setattr(
         fnn.Dropout, "__call__",
-        lambda self, x, deterministic=None, rng=None: orig(
-            self, x, deterministic=True),
+        # identity, not orig(deterministic=True): modules that set
+        # deterministic in the CONSTRUCTOR (JDIT's always-on prenet) reject
+        # a second call-time value
+        lambda self, x, deterministic=None, rng=None: x,
     )
 
 

@@ -310,3 +310,81 @@ def test_full_size_forward_parity(ref_fastspeech2, tmp_path_factory):
     )
     np.testing.assert_allclose(np.asarray(out.postnet_mel), r[1].numpy(), atol=5e-4)
     np.testing.assert_allclose(np.asarray(out.mel), r[0].numpy(), atol=5e-4)
+
+
+def test_jdit_forward_parity(ref_fastspeech2, monkeypatch):
+    """The Tacotron2 JDIT teacher (reference model/jdit.py:238-520): converted
+    weights, teacher-forced decode, dropout disabled on both sides -> mel,
+    gate, and alignment trajectories must match in f64. (The module is
+    runnable even though the reference's jdit TRAINING loss indexing is not —
+    see test_torch_train_parity.py's jdit trajectory test.)"""
+    import importlib
+
+    import flax.linen as fnn
+    import jax
+    import jax.numpy as jnp
+
+    from masg_tpu.compat.torch_fs2 import convert_torch_jdit
+    from masg_tpu.models.jdit import JDIT
+
+    jdit_mod = importlib.import_module("refmodel.jdit")
+    # prenet hardcodes F.dropout(training=True) (jdit.py:130) — kill dropout
+    # everywhere so the comparison is deterministic
+    monkeypatch.setattr(
+        torch.nn.functional, "dropout",
+        lambda x, p=0.5, training=False, inplace=False: x,
+    )
+    # REFERENCE BUG, corrected for this comparison: Decoder.forward applies
+    # `mask=~get_mask_from_lengths(...)` (jdit.py:437-438) assuming the
+    # NVIDIA Tacotron2 convention (True at VALID frames), but the vendored
+    # utils.tools.get_mask_from_lengths returns True at PADS — as written
+    # the teacher attends ONLY to padding and NaNs on full-length items
+    # (softmax over all -inf). Flip the convention so the torch side
+    # expresses the evident intent; our models/jdit.py masks pads directly.
+    # Idempotent permanent patch shared with test_torch_train_parity's
+    # trajectory helper (refmodel.jdit is a process-wide singleton — a
+    # per-test monkeypatch would double-invert when both files run).
+    if not getattr(jdit_mod, "_mask_fixed", False):
+        orig_mask_fn = jdit_mod.get_mask_from_lengths
+        jdit_mod.get_mask_from_lengths = lambda lengths: ~orig_mask_fn(lengths)
+        jdit_mod._mask_fixed = True
+    monkeypatch.setattr(
+        fnn.Dropout, "__call__",
+        # identity, not orig(deterministic=True): modules that set
+        # deterministic in the CONSTRUCTOR (JDIT's always-on prenet) reject
+        # a second call-time value
+        lambda self, x, deterministic=None, rng=None: x,
+    )
+
+    B, L, T = 2, 7, 12
+    pre = {"preprocessing": {"stft": {"hop_length": 256},
+                             "audio": {"sampling_rate": 22050}}}
+    torch.manual_seed(3)
+    ref = jdit_mod.JDIT(model_config={}, preprocess_config=pre).double()
+    ref.train()  # training-path decode (mask applied, dropout patched out)
+
+    rng = np.random.default_rng(0)
+    memory = rng.normal(size=(B, L, 256))
+    mels = rng.normal(size=(B, T, 80))
+    src_lens = np.array([L, L - 2], np.int64)
+
+    with torch.no_grad():
+        mel_t, gate_t, align_t = ref(
+            torch.from_numpy(memory), torch.from_numpy(mels),
+            torch.from_numpy(src_lens))
+
+    sd = {"jdit." + k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_torch_jdit(sd)
+    with jax.enable_x64(True):
+        ours = JDIT(n_mels=80, encoder_dim=256, dtype=jnp.float64)
+        pad_mask = jnp.arange(L)[None, :] >= jnp.asarray(src_lens)[:, None]
+        mel_j, gate_j, align_j = ours.apply(
+            {"params": params}, jnp.asarray(memory), jnp.asarray(mels),
+            pad_mask, True)
+
+    np.testing.assert_allclose(np.asarray(mel_j), mel_t.numpy(),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gate_j), gate_t.numpy(),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(align_j), align_t.numpy(),
+                               rtol=1e-8, atol=1e-9)

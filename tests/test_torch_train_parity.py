@@ -99,7 +99,7 @@ def _import_ref_ge2e(hidden=64, num_layer=2, proj=32):
     return importlib.import_module(f"{alias}.speech_embedder_net")
 
 
-def _ref_configs(tmpdir):
+def _ref_configs(tmpdir, use_jdit=False, hidden=64):
     with open(os.path.join(tmpdir, "speakers.json"), "w") as f:
         json.dump({f"s{i}": [i, "M" if i % 2 == 0 else "F",
                              "ja" if i < 2 else "en"] for i in range(N_SPEAKERS)}, f)
@@ -111,18 +111,22 @@ def _ref_configs(tmpdir):
         "energy": {"feature": "phoneme_level"},
         "speaker_generation": {"metadata": {"gender": {"M": 0, "F": 1},
                                             "language": {"ja": 0, "en": 1}}},
+        # JDIT.__init__ reads the nested preprocessing tree for its
+        # (inference-only) time_scaler (model/jdit.py:499)
+        "preprocessing": {"stft": {"hop_length": 256},
+                          "audio": {"sampling_rate": 22050}},
     }
     mdl = {
         "transformer": {"encoder_layer": 2, "encoder_head": 2,
-                        "encoder_hidden": 64, "decoder_layer": 2,
-                        "decoder_head": 2, "decoder_hidden": 64,
+                        "encoder_hidden": hidden, "decoder_layer": 2,
+                        "decoder_head": 2, "decoder_hidden": hidden,
                         "conv_filter_size": 128, "conv_kernel_size": [9, 1],
                         "encoder_dropout": 0.2, "decoder_dropout": 0.2},
         "variance_predictor": {"filter_size": 64, "kernel_size": 3,
                                "dropout": 0.5},
         "variance_embedding": {"pitch_quantization": "linear",
                                "energy_quantization": "linear", "n_bins": 256},
-        "jdit": {"use_jdit": False},
+        "jdit": {"use_jdit": use_jdit},
         "multi_speaker": True,
         "max_seq_len": 1000,
         "speaker_generation": {"GMM_mixtures": 3},
@@ -130,7 +134,7 @@ def _ref_configs(tmpdir):
     return pre, mdl
 
 
-def _our_config(grad_acc_step=1):
+def _our_config(grad_acc_step=1, use_jdit=False, hidden=64):
     from masg_tpu.core.config import (ExperimentConfig, ModelConfig,
                                       PreprocessConfig, Stats, TrainConfig)
 
@@ -144,10 +148,11 @@ def _our_config(grad_acc_step=1):
     )
     cfg.model.transformer.encoder_layer = 2
     cfg.model.transformer.decoder_layer = 2
-    cfg.model.transformer.encoder_hidden = 64
-    cfg.model.transformer.decoder_hidden = 64
+    cfg.model.transformer.encoder_hidden = hidden
+    cfg.model.transformer.decoder_hidden = hidden
     cfg.model.transformer.conv_filter_size = 128
     cfg.model.variance_predictor.filter_size = 64
+    cfg.model.jdit.use_jdit = use_jdit
     opt = cfg.train.optimizer
     opt.warm_up_step = WARMUP
     opt.grad_acc_step = grad_acc_step
@@ -204,16 +209,18 @@ def no_dropout(monkeypatch):
         torch.nn.functional, "dropout",
         lambda x, p=0.5, training=False, inplace=False: x,
     )
-    orig = fnn.Dropout.__call__
     monkeypatch.setattr(
         fnn.Dropout, "__call__",
-        lambda self, x, deterministic=None, rng=None: orig(
-            self, x, deterministic=True),
+        # identity, not orig(deterministic=True): modules that set
+        # deterministic in the CONSTRUCTOR (JDIT's always-on prenet) reject
+        # a second call-time value
+        lambda self, x, deterministic=None, rng=None: x,
     )
 
 
 def _torch_trajectory(batches, grad_acc_step, total_step, use_clf=False,
-                      lambd=1.0, seed=0, tmpdir=None):
+                      lambd=1.0, seed=0, tmpdir=None, use_jdit=False,
+                      hidden=64):
     """Replicates /root/reference/train.py:134-206 verbatim: forward, three
     backwards (FS2 loss / negated prior log-prob / scheduled adversarial),
     clip 1.0 every grad_acc_step, ScheduledOptim. Returns (per-step metric
@@ -221,7 +228,19 @@ def _torch_trajectory(batches, grad_acc_step, total_step, use_clf=False,
     fs2_mod = _import_ref("fastspeech2")
     loss_mod = _import_ref("loss")
     opt_mod = _import_ref("optimizer")
-    pre, mdl = _ref_configs(tmpdir)
+    pre, mdl = _ref_configs(tmpdir, use_jdit=use_jdit, hidden=hidden)
+
+    if use_jdit:
+        # correct the reference's inverted jdit attention-mask convention
+        # (jdit.py:437-438 assumes True-at-valid; the vendored
+        # get_mask_from_lengths returns True-at-pads -> NaN on full-length
+        # rows). Same evident-intent fix as test_torch_parity.py's
+        # test_jdit_forward_parity; our jax side masks pads directly.
+        jdit_mod = _import_ref("jdit")
+        if not getattr(jdit_mod, "_mask_fixed", False):
+            orig_mask = jdit_mod.get_mask_from_lengths
+            jdit_mod.get_mask_from_lengths = lambda lengths: ~orig_mask(lengths)
+            jdit_mod._mask_fixed = True
 
     torch.manual_seed(seed)
     model = fs2_mod.FastSpeech2(pre, mdl, tmpdir).double()
@@ -256,8 +275,19 @@ def _torch_trajectory(batches, grad_acc_step, total_step, use_clf=False,
         speaker_meta = torch.from_numpy(b["meta"])
         output = model(*(batch[2:]), accents=accents,
                        speaker_meta=speaker_meta)
-        losses = Loss(batch, output[:-2])
-        total_loss = losses[0] / grad_acc_step
+        if use_jdit:
+            # reference train.py:150-154 with its two indexing bugs fixed by
+            # evident intent: output is the 14-tuple (fastspeech2.py:113-130),
+            # so Loss takes [:-4] (as written, runnable) but the jdit MSE
+            # target is output[-4] == mel_jdit — the reference's output[-2]
+            # is speaker_emb_p, a torch Distribution, and MSELoss on it
+            # cannot run (single-speaker's [:-4] breaks Loss unpack instead)
+            losses = Loss(batch, output[:-4])
+            jdit_mse = torch.nn.MSELoss()(output[-4], batch[6])
+            total_loss = (losses[0] + jdit_mse) / grad_acc_step
+        else:
+            losses = Loss(batch, output[:-2])
+            total_loss = losses[0] / grad_acc_step
         total_loss.backward()
 
         eloss = eLoss(output[-1], output[-2])
@@ -311,7 +341,8 @@ def _torch_trajectory(batches, grad_acc_step, total_step, use_clf=False,
 
 
 def _jax_trajectory(batches, grad_acc_step, total_step, init_sd,
-                    use_clf=False, disc_sd=None, lambd=1.0):
+                    use_clf=False, disc_sd=None, lambd=1.0, use_jdit=False,
+                    hidden=64):
     """Runs our fused train step on the same batch stream from the converted
     torch initial weights, entirely in float64 (enable_x64)."""
     import jax
@@ -330,12 +361,15 @@ def _jax_trajectory(batches, grad_acc_step, total_step, init_sd,
             lambda x: x.astype(np.float64)
             if np.issubdtype(np.asarray(x).dtype, np.floating) else x, tree)
 
-        cfg = _our_config(grad_acc_step)
+        cfg = _our_config(grad_acc_step, use_jdit=use_jdit, hidden=hidden)
         params, batch_stats = convert_torch_fastspeech2(
             init_sd, encoder_layers=2, decoder_layers=2)
         params, batch_stats = to64(params), to64(batch_stats)
         model = FastSpeech2.from_config(cfg, dtype=jnp.float64)
-        tx = make_optimizer(cfg.train.optimizer, 64)
+        # jdit's LSTM cells need the torch two-bias update compat, exactly
+        # as build_experiment wires it (train/loop.py)
+        tx = make_optimizer(cfg.train.optimizer, hidden,
+                            torch_lstm_bias_compat=use_jdit)
         state = create_train_state(
             model, {"params": params, "batch_stats": batch_stats}, tx)
 
@@ -350,7 +384,7 @@ def _jax_trajectory(batches, grad_acc_step, total_step, init_sd,
         step_fn = jax.jit(make_train_step(
             model, use_clf=use_clf, discriminator=disc,
             discriminator_params=disc_params, lambd=lambd,
-            total_step=total_step,
+            total_step=total_step, use_jdit=use_jdit,
         ))
         traj = []
         key = jax.random.PRNGKey(0)
@@ -653,3 +687,27 @@ def test_training_trajectory_parity_ganlike(no_dropout, tmp_path):
 
     _assert_traj_match(ref_traj, our_traj, rtol=1e-5)
     assert any(r["dloss"] != 0.0 for r in ref_traj)
+
+
+def test_training_trajectory_parity_jdit(no_dropout, tmp_path):
+    """use_jdit trajectory parity at the reference's hardcoded JDIT dims
+    (encoder 256, RNNs 1024): the Tacotron2 teacher trains jointly with FS2
+    under ScheduledOptim, its MSE added to the total (train.py:150-154 with
+    the indexing corrected by evident intent — see _torch_trajectory), and
+    its LSTM biases updating under the torch two-bias Adam compat. Fewer
+    batches than the other variants: the f64 jdit scan dominates compile."""
+    batches = _make_batches(3, seed=5)
+    ref_traj, _ = _torch_trajectory(
+        batches, grad_acc_step=1, total_step=100, tmpdir=str(tmp_path),
+        use_jdit=True, hidden=256)
+
+    torch.manual_seed(0)  # rebuild identical init for conversion
+    fs2_mod = _import_ref("fastspeech2")
+    pre, mdl = _ref_configs(str(tmp_path), use_jdit=True, hidden=256)
+    init = fs2_mod.FastSpeech2(pre, mdl, str(tmp_path)).double()
+    init_sd = {k: v.numpy().copy() for k, v in init.state_dict().items()}
+
+    our_traj, _ = _jax_trajectory(
+        batches, grad_acc_step=1, total_step=100, init_sd=init_sd,
+        use_jdit=True, hidden=256)
+    _assert_traj_match(ref_traj, our_traj, rtol=1e-5)
