@@ -67,13 +67,15 @@ def _variance_predictor(sd, prefix):
     }
 
 
-def _lstm_cell(sd, prefix):
-    """torch nn.LSTMCell -> flax OptimizedLSTMCell params. The two torch
-    biases fold into one (forward-identical; see train/optim.py
+def _lstm_cell(sd, prefix, sfx=""):
+    """torch nn.LSTMCell / nn.LSTM layer -> flax OptimizedLSTMCell params.
+    `sfx` selects an nn.LSTM layer ("_l0", "_l1", ...); empty for LSTMCell.
+    The two torch biases fold into one (forward-identical; see train/optim.py
     double_lstm_bias_updates for the matching update-math compat)."""
-    wi = np.asarray(sd[prefix + ".weight_ih"])  # (4H, in)
-    wh = np.asarray(sd[prefix + ".weight_hh"])  # (4H, H)
-    b = np.asarray(sd[prefix + ".bias_ih"]) + np.asarray(sd[prefix + ".bias_hh"])
+    wi = np.asarray(sd[f"{prefix}.weight_ih{sfx}"])  # (4H, in)
+    wh = np.asarray(sd[f"{prefix}.weight_hh{sfx}"])  # (4H, H)
+    b = (np.asarray(sd[f"{prefix}.bias_ih{sfx}"])
+         + np.asarray(sd[f"{prefix}.bias_hh{sfx}"]))
     h = wh.shape[1]
     cell: Dict[str, Any] = {}
     for gi, g in enumerate(["i", "f", "g", "o"]):  # torch gate order i,f,g,o

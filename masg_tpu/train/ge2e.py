@@ -31,6 +31,7 @@ from ..models.speaker_encoder import (
     init_ge2e_params,
 )
 from .optim import (
+    add_decayed_weights_torch_lstm,
     clip_by_global_norm_torch,
     double_lstm_bias_updates,
     scale_by_adam_torch,
@@ -139,7 +140,6 @@ def make_ge2e_train_step(
     m_utts: int,
     lr: float = 1e-3,
     use_ge2e_backward: bool = True,
-    da_startpoint: float = 0.0,
     da_threshold: Optional[float] = None,
 ):
     """Jitted GE2E step with the reference's exact per-group update math
@@ -149,22 +149,29 @@ def make_ge2e_train_step(
     DA head (1e-3, wd 1e-6, clip 3.0).
 
     The DA gate is per-batch from the CURRENT loss — `da_loss < threshold or
-    progress <= da_startpoint` (:180-182) — and scopes THREE things, matching
-    torch's set_to_none zero_grad (unbackwarded grads are None, so Adam skips
-    those groups entirely, moments frozen): (1) whether da_loss backprops into
-    the trunk at all, (2) the DA group's step, and (3) in the ablation mode
-    (use_ge2e_backward=False, the shipped snapshot's commented-out GE2E
-    backward :181) the main group's step too — da_loss is then its only
-    gradient source. step signature: (state, mels, langs, rng, progress)."""
+    pretrain` (:180-182; `pretrain` = progress <= da_startpoint, computed
+    host-side in f64 exactly as the reference does) — and scopes THREE
+    things, matching torch's set_to_none zero_grad (unbackwarded grads are
+    None, so Adam skips those groups entirely, moments frozen): (1) whether
+    da_loss backprops into the trunk at all, (2) the DA group's step, and
+    (3) in the ablation mode (use_ge2e_backward=False, the shipped
+    snapshot's commented-out GE2E backward :181) the main group's step too —
+    da_loss is then its only gradient source.
+
+    step signature: (state, mels, langs, rng, pretrain, lr_scale=1.0).
+    `lr_scale` implements the reference's epoch-end LR halving on the main
+    and ge2e groups only (lr_schedule, train_speech_embedder.py:83-94,207;
+    the da group's lr never anneals)."""
     if da_threshold is None:
         da_threshold = compute_da_threshold(n_speakers, m_utts)
     tx_main = optax.chain(
         clip_by_global_norm_torch(3.0, lstm_bias_double_count=True),
-        optax.add_decayed_weights(1e-6),
-        scale_by_adam_torch(b1=0.9, b2=0.999, eps=1e-8),
-        # exact here (not just to O(wd)): the reference zero-inits BOTH torch
+        # half decay on folded LSTM biases + doubled post-Adam update: exact
+        # vs torch's two-bias math because the reference zero-inits BOTH
         # LSTM biases (speech_embedder_net.py:74-77), so bias_ih == bias_hh
-        # for the whole trajectory and their Adam+decay updates stay identical
+        # holds for the whole trajectory
+        add_decayed_weights_torch_lstm(1e-6),
+        scale_by_adam_torch(b1=0.9, b2=0.999, eps=1e-8),
         double_lstm_bias_updates(),
         optax.scale_by_learning_rate(lr),
     )
@@ -187,21 +194,21 @@ def make_ge2e_train_step(
             opt_state_da=tx_da.init(da),
         )
 
-    def loss_fn(params, ge2e_params, mels, langs, rng, progress):
+    def loss_fn(params, ge2e_params, mels, langs, rng, pretrain):
         out = embedder.apply({"params": params}, mels, deterministic=False,
                              rngs={"dropout": rng})
         emb = out["embeddings"].reshape(n_speakers, m_utts, -1)
         total, loss, da = ge2e_loss(ge2e_params, emb, out.get("da_lang_logits"), langs)
         gate = jnp.logical_or(jax.lax.stop_gradient(da) < da_threshold,
-                              progress <= da_startpoint)
+                              pretrain)
         objective = (loss if use_ge2e_backward else 0.0) + gate * da
         return objective, (loss, da, gate)
 
     @jax.jit
-    def step(state: GE2ETrainState, mels, langs, rng, progress):
+    def step(state: GE2ETrainState, mels, langs, rng, pretrain, lr_scale=1.0):
         (_, (loss, da, gate)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
-            state.embedder_params, state.ge2e, mels, langs, rng, progress
+            state.embedder_params, state.ge2e, mels, langs, rng, pretrain
         )
         gp, gg = grads
         g_main, g_da = _split_da(gp)
@@ -210,12 +217,14 @@ def make_ge2e_train_step(
         def do_main(args):
             p, os_ = args
             upd, os2 = tx_main.update(g_main, os_, p)
+            upd = jax.tree.map(lambda u: u * lr_scale, upd)
             return optax.apply_updates(p, upd), os2
 
         if use_ge2e_backward:
             # loss grads always exist -> main/ge2e step every batch
             p_main, os_main = do_main((p_main, state.opt_state_main))
             upd_g, os_ge2e = tx_ge2e.update(gg, state.opt_state_ge2e, state.ge2e)
+            upd_g = jax.tree.map(lambda u: u * lr_scale, upd_g)
             ge2e_new = optax.apply_updates(state.ge2e, upd_g)
         else:
             # ablation: main's only grads come through the gated da_loss;
@@ -278,6 +287,7 @@ def make_da_subroutine_step(embedder: SpeechEmbedder):
 
 
 _DA_STEP_CACHE: dict = {}
+_DA_RNG_COUNTER = [0]  # distinct default dropout keys across bursts
 
 
 def run_da_subroutine(embedder, state: GE2ETrainState, dataset, n_speakers: int,
@@ -295,7 +305,10 @@ def run_da_subroutine(embedder, state: GE2ETrainState, dataset, n_speakers: int,
     p_main, p_da = _split_da(state.embedder_params)
     opt_state = state.opt_state_da
     if rng is None:
-        rng = jax.random.PRNGKey(0)
+        # deterministic per process but distinct per burst — a fixed default
+        # key would replay identical dropout masks every epoch
+        _DA_RNG_COUNTER[0] += 1
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), _DA_RNG_COUNTER[0])
     prev = float("inf")
     for e in range(max_epochs):
         avg = 0.0
@@ -327,6 +340,7 @@ def train_speaker_encoder(
     lr: float = 1e-3,
     da_startpoint: float = 0.0,
     use_ge2e_backward: bool = True,
+    anneal_epochs: Tuple[int, ...] = (800, 1400, 1800, 2200),
     checkpoint_interval: int = 200,
     seed: int = 0,
     n_mels: int = 80,
@@ -362,7 +376,6 @@ def train_speaker_encoder(
     embedder = SpeechEmbedder(n_mels=n_mels)
     init_state, step = make_ge2e_train_step(
         embedder, n_speakers, m_utts, lr, use_ge2e_backward,
-        da_startpoint=da_startpoint,
     )
     mels0, _ = ds.sample_batch(n_speakers, variable_length=False)
     rng = jax.random.PRNGKey(seed)
@@ -374,15 +387,21 @@ def train_speaker_encoder(
 
     for e in range(epochs):
         progress = e / epochs
+        # pretrain gate host-side in f64 (reference :181); the da_loss
+        # threshold half of the gate is computed INSIDE the step from the
+        # current batch's loss (:180) — no host round-trip
+        pretrain = progress <= da_startpoint
+        # epoch-end LR halving on main/ge2e at anneal_epochs
+        # (lr_schedule, reference :83-94,207; da lr never anneals)
+        lr_scale = 0.5 ** sum(1 for a in anneal_epochs if a < e)
         total = total_da = 0.0
         for b in range(batches_per_epoch):
             mels, langs = ds.sample_batch(n_speakers, variable_length=False)
             placed = place(mels, langs)
             rng, sub = jax.random.split(rng)
-            # the da gate is computed INSIDE the step from the current
-            # batch's da_loss (reference :180-182) — no host round-trip
-            state, loss, da = step(state, placed["m"], placed["l"],
-                                   sub, jnp.asarray(progress, jnp.float32))
+            state, loss, da = step(state, placed["m"], placed["l"], sub,
+                                   jnp.asarray(pretrain),
+                                   jnp.asarray(lr_scale, jnp.float32))
             total += float(loss)
             total_da += float(da)
         if verbose:

@@ -108,6 +108,7 @@ class Trainer:
                     lambd=t.lambda_,
                     total_step=self.total_step,
                     rng_impl=rng_impl,
+                    grad_acc_step=cfg.train.optimizer.grad_acc_step,
                 ),
                 donate_argnums=(0,),
             )
@@ -585,22 +586,13 @@ def convert_torch_ge2e(state_dict, discriminator):
     """torch LSTM/Linear weights -> flax SpeechEmbedder params."""
     import numpy as np
 
+    from ..compat.torch_fs2 import _lstm_cell
+
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     params = {}
     for i in range(discriminator.n_layers):
-        sfx = f"_l{i}"
-        wi = sd[f"LSTM_stack.weight_ih{sfx}"]  # (4H, in)
-        wh = sd[f"LSTM_stack.weight_hh{sfx}"]  # (4H, H)
-        bi = sd[f"LSTM_stack.bias_ih{sfx}"] + sd[f"LSTM_stack.bias_hh{sfx}"]
-        h = wh.shape[1]
-        # torch gate order i,f,g,o == flax OptimizedLSTMCell {i,f,g,o};
-        # flax keeps bias on the h-side dense only, kernels are (in, H)
-        cell = {}
-        for gi, g in enumerate(["i", "f", "g", "o"]):
-            sl = slice(gi * h, (gi + 1) * h)
-            cell[f"i{g}"] = {"kernel": wi[sl].T}
-            cell[f"h{g}"] = {"kernel": wh[sl].T, "bias": bi[sl]}
-        params[f"OptimizedLSTMCell_{i}"] = cell
+        # gate-order split + bias fold shared with the jdit converter
+        params[f"OptimizedLSTMCell_{i}"] = _lstm_cell(sd, "LSTM_stack", f"_l{i}")
     params["projection"] = {
         "kernel": sd["projection.linear_layer.weight"].T,
         "bias": sd["projection.linear_layer.bias"],

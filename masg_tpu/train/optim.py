@@ -152,6 +152,35 @@ def clip_by_global_norm_torch(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def add_decayed_weights_torch_lstm(weight_decay: float) -> optax.GradientTransformation:
+    """L2-into-grad weight decay with HALF decay on folded LSTM biases.
+
+    torch decays bias_ih and bias_hh separately (wd*b each); our folded
+    B = b_ih + b_hh would receive wd*B = 2*wd*b — twice torch's per-bias
+    term. Halving restores per-bias gradients exactly whenever
+    b_ih == b_hh (the GE2E reference zero-inits both,
+    speech_embedder_net.py:74-77, and equal biases receive identical
+    updates so they stay equal), which combined with
+    double_lstm_bias_updates makes the folded trajectory match the torch
+    two-bias sum under weight decay too."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("add_decayed_weights_torch_lstm requires params")
+        new = jax.tree_util.tree_map_with_path(
+            lambda path, u, p: u + weight_decay
+            * (0.5 if _is_lstm_bias_path(path) else 1.0) * p,
+            updates, params,
+        )
+        return new, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def double_lstm_bias_updates() -> optax.GradientTransformation:
     """torch two-bias LSTM compat: scale post-Adam updates on LSTM-cell bias
     leaves by 2.
@@ -214,8 +243,12 @@ def make_optimizer(
                                   lstm_bias_double_count=torch_lstm_bias_compat),
         # torch Adam's weight_decay is L2-into-gradient (BEFORE the Adam
         # moments), not AdamW-style decoupled decay — keep that placement
-        # (reference configs all use 0.0, but semantics should match anyway)
-        optax.add_decayed_weights(opt_cfg.weight_decay)
+        # (reference configs all use 0.0, but semantics should match anyway);
+        # under the LSTM compat the folded bias takes half decay (see
+        # add_decayed_weights_torch_lstm)
+        (add_decayed_weights_torch_lstm(opt_cfg.weight_decay)
+         if torch_lstm_bias_compat
+         else optax.add_decayed_weights(opt_cfg.weight_decay))
         if opt_cfg.weight_decay
         else optax.identity(),
         scale_by_adam_torch(

@@ -185,12 +185,15 @@ def make_ganlike_train_step(
     total_step: int = 30000,
     lang_meta_index: int = 2,
     rng_impl: Optional[str] = None,
+    grad_acc_step: int = 1,
 ):
     """Adversarial variant: FS2 AND the discriminator train jointly under one
     optimizer, with jittered language labels `langs + U[0,1)`
     (reference train_ganlike.py:140-170, model/ganlike.py:10-45).
 
     `state.params` must be {"model": fs2_params, "discriminator": disc_params}.
+    `grad_acc_step` must match the optimizer's MultiSteps k (see the dloss
+    scaling note below).
     """
 
     def loss_fn(params, batch_stats, batch, rng, step):
@@ -232,11 +235,11 @@ def make_ganlike_train_step(
         )
         dloss = bce_with_logits_sum(disc_out["da_lang_logits"], langs)
         sched = 2.0 / (1.0 + jnp.exp(-10.0 * ((step + 1.0) / total_step))) - 1.0
-        # NOTE: under grad accumulation the reference scales total/eloss by
-        # 1/k but NOT dloss (train_ganlike.py:155,160,167) — an asymmetry
-        # that never fires (every shipped config uses grad_acc_step: 1).
-        # The fused step scales all three uniformly.
-        total = total + dloss * sched * lambd / langs.shape[0]
+        # under grad accumulation the reference scales total/eloss by 1/k
+        # but NOT dloss (train_ganlike.py:155,160,167); optax.MultiSteps
+        # averages the fused gradient, so pre-multiplying the dloss term by
+        # k reproduces that asymmetry exactly (no-op at the shipped k=1)
+        total = total + dloss * sched * lambd * grad_acc_step / langs.shape[0]
 
         metrics = StepMetrics(
             total=losses.total, mel=losses.mel, postnet_mel=losses.postnet_mel,

@@ -124,7 +124,7 @@ def test_ge2e_training_separates_speakers(tmp_path):
     losses = []
     for i in range(25):
         key, sub = jax.random.split(key)
-        state, loss, da = step(state, mels_j, langs_j, sub, jnp.asarray(0.0))
+        state, loss, da = step(state, mels_j, langs_j, sub, jnp.asarray(True))
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
@@ -207,7 +207,7 @@ def test_ge2e_step_dp_mesh_equivalence(tmp_path):
         for i in range(3):
             key, sub = jax.random.split(key)
             m, l = place(mels, langs)
-            state, loss, da = step(state, m, l, sub, jnp.asarray(0.0))
+            state, loss, da = step(state, m, l, sub, jnp.asarray(True))
             losses.append([float(loss), float(da)])
         return np.array(losses)
 

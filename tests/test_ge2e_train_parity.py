@@ -59,7 +59,8 @@ def _import_ref_full():
     similarity/softmax math matters for this test, unlike the ganlike-parity
     stubs). utils.py imports librosa at module scope but never uses it in the
     loss path — stub the import (librosa is absent from this image)."""
-    if "librosa" not in sys.modules:
+    import importlib.util
+    if "librosa" not in sys.modules and importlib.util.find_spec("librosa") is None:
         sys.modules["librosa"] = types.ModuleType("librosa")
     alias = f"refge2e_full_{HIDDEN}x{LAYERS}p{PROJ}"
     if alias not in sys.modules:
@@ -110,7 +111,7 @@ def _keep_f64():
 
 def _torch_trajectory(batches, progresses, use_ge2e_backward, threshold,
                       da_startpoint=0.0, subroutine_after=None,
-                      sub_stream=None, seed=0):
+                      sub_stream=None, seed=0, anneal_after=()):
     """The reference loop verbatim: zero_grad (set_to_none -> skipped groups'
     Adam moments freeze), gated backwards, per-group clips + steps
     (train_speech_embedder.py:169-192), optional da_classifier_subroutine
@@ -150,6 +151,13 @@ def _torch_trajectory(batches, progresses, use_ge2e_backward, threshold,
             traj.append({"loss": float(loss), "da": float(da_loss)})
             gates.append(gate)
 
+            if i in anneal_after:
+                # reference lr_schedule (:83-94): halve main+ge2e lr at
+                # epoch end; da lr never anneals
+                for o in (opt_main, opt_ge2e):
+                    for pg in o.param_groups:
+                        pg["lr"] = pg["lr"] / 2
+
             if subroutine_after is not None and i == subroutine_after:
                 for s_mels, s_langs in sub_stream:
                     opt_da.zero_grad()
@@ -167,7 +175,7 @@ def _torch_trajectory(batches, progresses, use_ge2e_backward, threshold,
 
 def _our_trajectory(batches, progresses, use_ge2e_backward, threshold,
                     torch_seed=0, da_startpoint=0.0, subroutine_after=None,
-                    sub_stream=None):
+                    sub_stream=None, anneal_after=()):
     import jax
 
     with jax.enable_x64(True):
@@ -192,7 +200,7 @@ def _our_trajectory(batches, progresses, use_ge2e_backward, threshold,
 
         init_state, step = make_ge2e_train_step(
             embedder, N, M, lr=LR, use_ge2e_backward=use_ge2e_backward,
-            da_startpoint=da_startpoint, da_threshold=threshold)
+            da_threshold=threshold)
         state = init_state(jax.random.PRNGKey(0), batches[0][0])
         ge2e0 = state.ge2e._replace(
             w=jnp.asarray(float(ref_ge2e.w), jnp.float64),
@@ -209,12 +217,17 @@ def _our_trajectory(batches, progresses, use_ge2e_backward, threshold,
 
         traj = []
         key = jax.random.PRNGKey(1)
+        lr_scale = 1.0
         for i, ((mels, langs), progress) in enumerate(zip(batches, progresses)):
             key, sub = jax.random.split(key)
+            pretrain = progress <= da_startpoint  # host-side f64, as trainer
             state, loss, da = step(state, jnp.asarray(mels),
                                    jnp.asarray(langs), sub,
-                                   jnp.asarray(progress, jnp.float64))
+                                   jnp.asarray(pretrain),
+                                   jnp.asarray(lr_scale, jnp.float64))
             traj.append({"loss": float(loss), "da": float(da)})
+            if i in anneal_after:
+                lr_scale /= 2
 
             if subroutine_after is not None and i == subroutine_after:
                 _, sub_step = make_da_subroutine_step(embedder)
@@ -297,4 +310,19 @@ def test_ge2e_da_subroutine_shares_optimizer_state(no_dropout):
     ours = _our_trajectory(
         batches, progresses, True, math.inf,
         subroutine_after=2, sub_stream=sub_stream)
+    _assert_match(ref, ours)
+
+
+def test_ge2e_trajectory_lr_anneal(no_dropout):
+    """The reference halves the main and ge2e learning rates at epoch ends
+    (lr_schedule, train_speech_embedder.py:83-94,207; anneal_epochs in its
+    config) while the da group's lr stays fixed — the step's lr_scale input
+    must reproduce the trajectory across an anneal boundary."""
+    batches = _make_batches(6, seed=6)
+    progresses = [0.5] * 6
+    ref, gates = _torch_trajectory(batches, progresses, True, math.inf,
+                                   anneal_after=(2,))
+    assert all(gates)
+    ours = _our_trajectory(batches, progresses, True, math.inf,
+                           anneal_after=(2,))
     _assert_match(ref, ours)
