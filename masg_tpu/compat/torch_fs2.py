@@ -158,10 +158,12 @@ def convert_torch_fastspeech2(
             "scale": sd[f"postnet.convolutions.{i}.1.weight"],
             "bias": sd[f"postnet.convolutions.{i}.1.bias"],
         }
-        postnet_bs[f"bn_{i}"] = {
-            "mean": sd[f"postnet.convolutions.{i}.1.running_mean"],
-            "var": sd[f"postnet.convolutions.{i}.1.running_var"],
-        }
+        # absent when converting Adam-moment dicts (buffers have no moments)
+        if f"postnet.convolutions.{i}.1.running_mean" in sd:
+            postnet_bs[f"bn_{i}"] = {
+                "mean": sd[f"postnet.convolutions.{i}.1.running_mean"],
+                "var": sd[f"postnet.convolutions.{i}.1.running_var"],
+            }
     params["postnet"] = postnet_p
     batch_stats["postnet"] = postnet_bs
 
@@ -189,3 +191,234 @@ def load_torch_checkpoint(path: str, encoder_layers: int, decoder_layers: int,
     # strip DataParallel 'module.' prefixes (reference train.py:272-275)
     sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
     return convert_torch_fastspeech2(sd, encoder_layers, decoder_layers, multi_speaker)
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion: masg_tpu -> reference torch checkpoint
+# ---------------------------------------------------------------------------
+
+
+def _lin_out(out, prefix, p):
+    out[prefix + ".weight"] = np.asarray(p["kernel"]).T
+    if "bias" in p:
+        out[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _conv_out(out, prefix, p):
+    out[prefix + ".weight"] = np.transpose(np.asarray(p["kernel"]), (2, 1, 0))
+    if "bias" in p:
+        out[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _ln_out(out, prefix, p):
+    out[prefix + ".weight"] = np.asarray(p["scale"])
+    out[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _fft_block_out(out, prefix, p):
+    for k in ("w_qs", "w_ks", "w_vs", "fc"):
+        _lin_out(out, f"{prefix}.slf_attn.{k}", p["slf_attn"][k])
+    _ln_out(out, f"{prefix}.slf_attn.layer_norm", p["slf_attn"]["layer_norm"])
+    _conv_out(out, f"{prefix}.pos_ffn.w_1", p["pos_ffn"]["w_1"])
+    _conv_out(out, f"{prefix}.pos_ffn.w_2", p["pos_ffn"]["w_2"])
+    _ln_out(out, f"{prefix}.pos_ffn.layer_norm", p["pos_ffn"]["layer_norm"])
+
+
+def _variance_predictor_out(out, prefix, p):
+    _conv_out(out, f"{prefix}.conv_layer.conv1d_1.conv", p["conv1d_1"])
+    _ln_out(out, f"{prefix}.conv_layer.layer_norm_1", p["layer_norm_1"])
+    _conv_out(out, f"{prefix}.conv_layer.conv1d_2.conv", p["conv1d_2"])
+    _ln_out(out, f"{prefix}.conv_layer.layer_norm_2", p["layer_norm_2"])
+    _lin_out(out, f"{prefix}.linear_layer", p["linear_layer"])
+
+
+def _lstm_cell_out(out, prefix, cell, sfx=""):
+    """Inverse of _lstm_cell: flax folded-bias cell -> torch two-bias layout.
+    The folded bias splits evenly (bias_ih = bias_hh = B/2) — exact for the
+    reference GE2E stack (zero-init keeps both biases equal forever) and for
+    any checkpoint trained here, where only the sum is ever defined."""
+    h = np.asarray(cell["hi"]["kernel"]).shape[0]
+    wi = np.concatenate([np.asarray(cell[f"i{g}"]["kernel"]).T
+                         for g in ("i", "f", "g", "o")], axis=0)
+    wh = np.concatenate([np.asarray(cell[f"h{g}"]["kernel"]).T
+                         for g in ("i", "f", "g", "o")], axis=0)
+    b = np.concatenate([np.asarray(cell[f"h{g}"]["bias"])
+                        for g in ("i", "f", "g", "o")], axis=0)
+    del h
+    out[f"{prefix}.weight_ih{sfx}"] = wi
+    out[f"{prefix}.weight_hh{sfx}"] = wh
+    out[f"{prefix}.bias_ih{sfx}"] = b / 2.0
+    out[f"{prefix}.bias_hh{sfx}"] = b / 2.0
+
+
+def export_torch_fastspeech2(params, batch_stats=None) -> Dict[str, Any]:
+    """masg_tpu FastSpeech2 params (+batch_stats) -> reference torch
+    state_dict fragment (numpy arrays), the exact inverse of
+    convert_torch_fastspeech2. Covers every key the converter consumes; the
+    reference's derived buffers (positional tables, pitch/energy bins,
+    BatchNorm num_batches_tracked) are not parameters and are reconstructed
+    by the torch model itself — update an existing state_dict with this
+    fragment, or load with strict=False.
+
+    Because the tree structure of Adam moments matches the params exactly
+    (and the layout transposes are per-coordinate), passing a moment tree as
+    `params` yields the name->moment mapping used for optimizer export."""
+    out: Dict[str, Any] = {}
+    enc = params["encoder"]
+    out["encoder.src_word_emb.weight"] = np.asarray(enc["src_word_emb"]["table"]["embedding"])
+    if "src_accent_emb" in enc:
+        out["encoder.src_accent_emb.weight"] = np.asarray(
+            enc["src_accent_emb"]["table"]["embedding"])
+    for name, prefix in (("encoder", "encoder"), ("decoder", "decoder")):
+        tree = params[name]
+        for k, v in tree.items():
+            if k.startswith("layer_"):
+                _fft_block_out(out, f"{prefix}.layer_stack.{k[len('layer_'):]}", v)
+
+    va = params["variance_adaptor"]
+    for vp in ("duration_predictor", "pitch_predictor", "energy_predictor"):
+        _variance_predictor_out(out, f"variance_adaptor.{vp}", va[vp])
+    out["variance_adaptor.pitch_embedding.weight"] = np.asarray(
+        va["pitch_embedding"]["embedding"])
+    out["variance_adaptor.energy_embedding.weight"] = np.asarray(
+        va["energy_embedding"]["embedding"])
+
+    _lin_out(out, "mel_linear", params["mel_linear"])
+
+    pn = params["postnet"]
+    n_convs = sum(1 for k in pn if k.startswith("conv_"))
+    for i in range(n_convs):
+        _conv_out(out, f"postnet.convolutions.{i}.0.conv", pn[f"conv_{i}"])
+        out[f"postnet.convolutions.{i}.1.weight"] = np.asarray(pn[f"bn_{i}"]["scale"])
+        out[f"postnet.convolutions.{i}.1.bias"] = np.asarray(pn[f"bn_{i}"]["bias"])
+        if batch_stats is not None:
+            bs = batch_stats["postnet"][f"bn_{i}"]
+            out[f"postnet.convolutions.{i}.1.running_mean"] = np.asarray(bs["mean"])
+            out[f"postnet.convolutions.{i}.1.running_var"] = np.asarray(bs["var"])
+
+    if "jdit" in params:
+        d = params["jdit"]["decoder"]
+        _lin_out(out, "jdit.decoder.prenet.layers.0.linear_layer", d["prenet"]["linear_0"])
+        _lin_out(out, "jdit.decoder.prenet.layers.1.linear_layer", d["prenet"]["linear_1"])
+        _lin_out(out, "jdit.decoder.attention_layer.memory_layer.linear_layer",
+                 d["memory_layer"])
+        st = d["step"]
+        _lstm_cell_out(out, "jdit.decoder.attention_rnn", st["attention_rnn"])
+        _lstm_cell_out(out, "jdit.decoder.decoder_rnn", st["decoder_rnn"])
+        _lin_out(out, "jdit.decoder.attention_layer.query_layer.linear_layer",
+                 st["query_layer"])
+        _lin_out(out, "jdit.decoder.attention_layer.v.linear_layer", st["v"])
+        _conv_out(out, "jdit.decoder.attention_layer.location_layer.location_conv.conv",
+                  st["location_conv"])
+        _lin_out(out,
+                 "jdit.decoder.attention_layer.location_layer.location_dense.linear_layer",
+                 st["location_dense"])
+        _lin_out(out, "jdit.decoder.linear_projection.linear_layer",
+                 st["linear_projection"])
+        _lin_out(out, "jdit.decoder.gate_layer.linear_layer", st["gate_layer"])
+
+    if "speaker_emb" in params:
+        out["speaker_emb.weight"] = np.asarray(params["speaker_emb"]["embedding"])
+        se = params["speaker_enc"]
+        _lin_out(out, "speaker_enc.pi_linear.0", se["pi_linear"])
+        _lin_out(out, "speaker_enc.sigma_linear.0", se["sigma_linear"])
+        _lin_out(out, "speaker_enc.mu_linear", se["mu_linear"])
+
+    return out
+
+
+def _find_adam_state(opt_state):
+    """Locate ScaleByAdamTorchState and the lr ScaleByScheduleState inside a
+    make_optimizer chain state (grad_acc_step == 1 — MultiSteps wrapping is
+    not supported for torch export)."""
+    import optax
+
+    from ..train.optim import ScaleByAdamTorchState
+
+    adam_idx = sched_idx = None
+    for i, st in enumerate(opt_state):
+        if isinstance(st, ScaleByAdamTorchState):
+            adam_idx = i
+        if isinstance(st, optax.ScaleByScheduleState):
+            sched_idx = i
+    if adam_idx is None:
+        raise ValueError(
+            "no ScaleByAdamTorchState in optimizer state (grad_acc_step>1 "
+            "MultiSteps checkpoints are not exportable to the torch format)")
+    return adam_idx, sched_idx
+
+
+def export_torch_optimizer(opt_state, torch_model, betas=(0.9, 0.98),
+                           eps=1e-9, weight_decay=0.0) -> Dict[str, Any]:
+    """masg_tpu optimizer state -> torch.optim.Adam state_dict, loadable by
+    the reference's ScheduledOptim (reference train.py:66-73,276-285 saves
+    optimizer._optimizer.state_dict() and restores it on resume). The step
+    count maps 1:1 (both sides count applied updates)."""
+    import torch
+
+    adam_idx, _ = _find_adam_state(opt_state)
+    adam = opt_state[adam_idx]
+    mu = export_torch_fastspeech2(adam.mu)
+    nu = export_torch_fastspeech2(adam.nu)
+    count = int(adam.count)
+
+    state = {}
+    names = [n for n, _ in torch_model.named_parameters()]
+    for i, n in enumerate(names):
+        # requires_grad=False "parameters" (the reference registers its
+        # positional tables and pitch/energy bins that way) never receive
+        # grads, so torch Adam holds no state for them — skip, as a native
+        # torch checkpoint would
+        if n not in mu:
+            continue
+        state[i] = {
+            "step": torch.tensor(float(count)),
+            "exp_avg": torch.from_numpy(np.ascontiguousarray(mu[n])),
+            "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(nu[n])),
+        }
+    return {
+        "state": state,
+        "param_groups": [{
+            "lr": 0.0,  # ScheduledOptim overwrites per step
+            "betas": tuple(betas), "eps": eps, "weight_decay": weight_decay,
+            "amsgrad": False, "maximize": False, "foreach": None,
+            "capturable": False, "differentiable": False, "fused": None,
+            "decoupled_weight_decay": False,
+            "params": list(range(len(names))),
+        }],
+    }
+
+
+def import_torch_optimizer(opt_state, torch_adam_sd, torch_model,
+                           encoder_layers: int, decoder_layers: int):
+    """torch.optim.Adam state_dict -> masg_tpu optimizer state: fills the
+    Adam moments (converted through the same layout mapping as the weights)
+    and both step counts (Adam bias correction + Noam schedule) into a
+    freshly tx.init()-ed opt_state. Returns the new opt_state."""
+    import jax
+
+    adam_idx, sched_idx = _find_adam_state(opt_state)
+    names = [n for n, _ in torch_model.named_parameters()]
+    st = torch_adam_sd["state"]
+    # grad-less params (requires_grad=False tables/bins) have no state entry
+    exp_avg = {n: st[i]["exp_avg"].numpy()
+               for i, n in enumerate(names) if i in st}
+    exp_avg_sq = {n: st[i]["exp_avg_sq"].numpy()
+                  for i, n in enumerate(names) if i in st}
+    count = int(next(iter(st.values()))["step"]) if st else 0
+
+    mu, _ = convert_torch_fastspeech2(exp_avg, encoder_layers, decoder_layers)
+    nu, _ = convert_torch_fastspeech2(exp_avg_sq, encoder_layers, decoder_layers)
+
+    adam = opt_state[adam_idx]
+    cast = lambda new, like: jax.tree.map(
+        lambda n, l: np.asarray(n, dtype=l.dtype), new, like)
+    new_adam = adam._replace(
+        count=np.asarray(count, np.int32),
+        mu=cast(mu, adam.mu), nu=cast(nu, adam.nu))
+    out = list(opt_state)
+    out[adam_idx] = new_adam
+    if sched_idx is not None:
+        out[sched_idx] = opt_state[sched_idx]._replace(
+            count=np.asarray(count, np.int32))
+    return tuple(out)

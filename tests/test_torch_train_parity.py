@@ -220,11 +220,14 @@ def no_dropout(monkeypatch):
 
 def _torch_trajectory(batches, grad_acc_step, total_step, use_clf=False,
                       lambd=1.0, seed=0, tmpdir=None, use_jdit=False,
-                      hidden=64):
+                      hidden=64, live_in=None, start_step=0,
+                      return_live=False):
     """Replicates /root/reference/train.py:134-206 verbatim: forward, three
     backwards (FS2 loss / negated prior log-prob / scheduled adversarial),
     clip 1.0 every grad_acc_step, ScheduledOptim. Returns (per-step metric
-    dicts, final state_dict)."""
+    dicts, final state_dict); with return_live also (model, optim) so a
+    segment can continue (the migration round-trip test). `live_in` resumes
+    from an existing (model, optim) pair at step `start_step`."""
     fs2_mod = _import_ref("fastspeech2")
     loss_mod = _import_ref("loss")
     opt_mod = _import_ref("optimizer")
@@ -242,16 +245,20 @@ def _torch_trajectory(batches, grad_acc_step, total_step, use_clf=False,
             jdit_mod.get_mask_from_lengths = lambda lengths: ~orig_mask(lengths)
             jdit_mod._mask_fixed = True
 
-    torch.manual_seed(seed)
-    model = fs2_mod.FastSpeech2(pre, mdl, tmpdir).double()
-    model.train()
     Loss = loss_mod.FastSpeech2Loss(pre, mdl)
     eLoss = loss_mod.SpeakerMetaEncLoss(pre, mdl)
-    train_cfg = {"optimizer": {"betas": [0.9, 0.98], "eps": EPS,
-                               "weight_decay": 0.0, "warm_up_step": WARMUP,
-                               "anneal_steps": [300000, 400000, 500000],
-                               "anneal_rate": 0.3}}
-    optim = opt_mod.ScheduledOptim(model, train_cfg, mdl, current_step=0)
+    if live_in is not None:
+        model, optim = live_in
+    else:
+        torch.manual_seed(seed)
+        model = fs2_mod.FastSpeech2(pre, mdl, tmpdir).double()
+        model.train()
+        train_cfg = {"optimizer": {"betas": [0.9, 0.98], "eps": EPS,
+                                   "weight_decay": 0.0, "warm_up_step": WARMUP,
+                                   "anneal_steps": [300000, 400000, 500000],
+                                   "anneal_rate": 0.3}}
+        optim = opt_mod.ScheduledOptim(model, train_cfg, mdl,
+                                       current_step=start_step)
 
     disc = None
     if use_clf:
@@ -262,7 +269,7 @@ def _torch_trajectory(batches, grad_acc_step, total_step, use_clf=False,
     bce = torch.nn.BCEWithLogitsLoss(reduction="sum")
 
     traj = []
-    step = 1
+    step = start_step + 1
     for b in batches:
         batch = (
             None, None, torch.from_numpy(b["speakers"]),
@@ -337,12 +344,14 @@ def _torch_trajectory(batches, grad_acc_step, total_step, use_clf=False,
             optim.zero_grad()
         traj.append(rec)
         step += 1
+    if return_live:
+        return traj, model.state_dict(), model, optim
     return traj, model.state_dict()
 
 
 def _jax_trajectory(batches, grad_acc_step, total_step, init_sd,
                     use_clf=False, disc_sd=None, lambd=1.0, use_jdit=False,
-                    hidden=64):
+                    hidden=64, torch_adam_sd=None, torch_model=None):
     """Runs our fused train step on the same batch stream from the converted
     torch initial weights, entirely in float64 (enable_x64)."""
     import jax
@@ -372,6 +381,13 @@ def _jax_trajectory(batches, grad_acc_step, total_step, init_sd,
                             torch_lstm_bias_compat=use_jdit)
         state = create_train_state(
             model, {"params": params, "batch_stats": batch_stats}, tx)
+        if torch_adam_sd is not None:
+            # mid-training migration: adopt the torch Adam moments + counts
+            from masg_tpu.compat.torch_fs2 import import_torch_optimizer
+
+            state = state.replace(opt_state=import_torch_optimizer(
+                state.opt_state, torch_adam_sd, torch_model,
+                encoder_layers=2, decoder_layers=2))
 
         disc = disc_params = None
         if use_clf:
@@ -711,3 +727,51 @@ def test_training_trajectory_parity_jdit(no_dropout, tmp_path):
         batches, grad_acc_step=1, total_step=100, init_sd=init_sd,
         use_jdit=True, hidden=256)
     _assert_traj_match(ref_traj, our_traj, rtol=1e-5)
+
+
+def test_mid_training_migration_round_trip(no_dropout, tmp_path):
+    """Bidirectional mid-training checkpoint migration with trajectory
+    continuity: 3 reference torch steps -> convert weights + BatchNorm
+    running stats + Adam moments + step counts into masg_tpu -> 3 fused
+    steps here -> export everything back into a reference-format checkpoint
+    (export_torch_fastspeech2 / export_torch_optimizer) -> 3 more torch
+    steps. The 9 segmented losses must equal a straight 9-step torch run —
+    i.e. a user can move a HALF-TRAINED reference checkpoint here (or back)
+    without perturbing the optimization at all."""
+    batches = _make_batches(9, seed=8)
+    total_step = 30000
+
+    straight, _ = _torch_trajectory(batches, 1, total_step, tmpdir=str(tmp_path))
+
+    # --- segment A: torch steps 1-3 ---
+    seg_a, sd_a, model_t, optim_t = _torch_trajectory(
+        batches[:3], 1, total_step, tmpdir=str(tmp_path), return_live=True)
+    adam_sd = optim_t._optimizer.state_dict()
+
+    # --- segment B: masg_tpu steps 4-6 from the migrated checkpoint ---
+    seg_b, state = _jax_trajectory(
+        batches[3:6], 1, total_step,
+        init_sd={k: v.numpy().copy() for k, v in sd_a.items()},
+        torch_adam_sd=adam_sd, torch_model=model_t)
+
+    # --- migrate back: weights (+ running stats) and optimizer ---
+    from masg_tpu.compat.torch_fs2 import (export_torch_fastspeech2,
+                                           export_torch_optimizer)
+
+    frag = export_torch_fastspeech2(state.params, state.batch_stats)
+    msd = model_t.state_dict()
+    missing = set(frag) - set(msd)
+    assert not missing, f"exported keys unknown to torch: {sorted(missing)[:5]}"
+    msd.update({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in frag.items()})
+    model_t.load_state_dict(msd)
+    optim_t._optimizer.load_state_dict(export_torch_optimizer(
+        state.opt_state, model_t, betas=(0.9, 0.98), eps=EPS))
+    optim_t.current_step = 6
+
+    # --- segment C: torch steps 7-9 ---
+    seg_c, _, _, _ = _torch_trajectory(
+        batches[6:9], 1, total_step, tmpdir=str(tmp_path),
+        live_in=(model_t, optim_t), start_step=6, return_live=True)
+
+    _assert_traj_match(straight, seg_a + seg_b + seg_c, rtol=1e-5)
