@@ -1,12 +1,22 @@
-"""Convert a reference torch FastSpeech2 checkpoint into our orbax format.
+"""Convert checkpoints between the reference torch format and our orbax
+format — in BOTH directions, including the optimizer's Adam moments, so a
+half-trained run can migrate either way and continue exactly.
 
 Usage:
+  # reference -> masg_tpu (weights + Adam moments when present)
   python -m masg_tpu.cli.convert_checkpoint -c <config_dir> \
       --torch_ckpt path/to/20000.pth.tar --step 20000
 
-After conversion the experiment's ckpt_path holds the weights and every CLI
-accepts `--restore_step 20000` against it. Forward parity of the mapping is
-proven in tests/test_torch_parity.py.
+  # masg_tpu -> reference (strict-loadable {"model","optimizer"} .pth.tar)
+  python -m masg_tpu.cli.convert_checkpoint -c <config_dir> \
+      --step 20000 --to_torch out/20000.pth.tar
+
+After forward conversion the experiment's ckpt_path holds the weights and
+every CLI accepts `--restore_step 20000` against it. Forward parity of the
+mapping is proven in tests/test_torch_parity.py; trajectory continuity of a
+full round trip in test_torch_train_parity.py
+(test_mid_training_migration_round_trip); the exported order/buffers in
+tests/test_torch_export.py.
 """
 
 from __future__ import annotations
@@ -17,12 +27,19 @@ import argparse
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True)
-    parser.add_argument("--torch_ckpt", type=str, required=True)
+    parser.add_argument("--torch_ckpt", type=str, default=None)
     parser.add_argument("--step", type=int, required=True,
                         help="step label for the converted checkpoint")
     parser.add_argument("--out", type=str, default=None,
                         help="ckpt dir (default: the experiment's ckpt_path)")
+    parser.add_argument("--to_torch", type=str, default=None,
+                        help="write a reference-format .pth.tar to this path "
+                             "from the orbax checkpoint at --step instead")
+    parser.add_argument("--skip_optimizer", action="store_true",
+                        help="convert weights only (no Adam moments)")
     args = parser.parse_args(argv)
+    if (args.torch_ckpt is None) == (args.to_torch is None):
+        parser.error("exactly one of --torch_ckpt / --to_torch is required")
 
     from ..core.cache import enable_compilation_cache
 
@@ -31,7 +48,6 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ..compat.torch_fs2 import load_torch_checkpoint
     from ..core.checkpoint import CheckpointManager
     from ..core.config import load_config_dir
     from ..models import FastSpeech2
@@ -39,8 +55,50 @@ def main(argv=None):
     from ..train.state import create_train_state
 
     cfg = load_config_dir(args.config)
-    params, batch_stats = load_torch_checkpoint(
-        args.torch_ckpt,
+
+    if args.to_torch:
+        import numpy as np
+        import torch
+
+        from ..compat.torch_fs2 import export_torch_checkpoint
+        from ..infer.synthesis import load_model
+
+        model, variables = load_model(cfg, restore_step=0)
+        tx = make_optimizer(cfg.train.optimizer,
+                            cfg.model.transformer.encoder_hidden)
+        state = create_train_state(model, variables, tx)
+        mgr = CheckpointManager(args.out or cfg.train.path.ckpt_path)
+        state = mgr.restore(args.step, state)
+        ckpt = export_torch_checkpoint(
+            state.params, state.batch_stats, cfg,
+            opt_state=None if args.skip_optimizer else state.opt_state)
+        import os as _os
+
+        out_dir = _os.path.dirname(args.to_torch)
+        if out_dir:
+            _os.makedirs(out_dir, exist_ok=True)
+        payload = {"model": {n: torch.as_tensor(np.ascontiguousarray(a))
+                             for n, a in ckpt["model"].items()}}
+        if "optimizer" in ckpt:
+            payload["optimizer"] = ckpt["optimizer"]
+        torch.save(payload, args.to_torch)
+        print(f"exported step {args.step} -> {args.to_torch} "
+              f"(model{' + optimizer' if 'optimizer' in ckpt else ''})")
+        return
+
+    import torch
+
+    from ..compat.torch_fs2 import (convert_torch_fastspeech2,
+                                    import_torch_optimizer,
+                                    reference_param_order)
+
+    raw = torch.load(args.torch_ckpt, map_location="cpu", weights_only=True)
+    sd = raw.get("model", raw)
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    params, batch_stats = convert_torch_fastspeech2(
+        sd,
         encoder_layers=cfg.model.transformer.encoder_layer,
         decoder_layers=cfg.model.transformer.decoder_layer,
         multi_speaker=cfg.model.multi_speaker,
@@ -71,10 +129,21 @@ def main(argv=None):
         params=jax.tree.map(jnp.asarray, params),
         batch_stats=jax.tree.map(jnp.asarray, batch_stats),
     )
+    with_opt = False
+    if not args.skip_optimizer and isinstance(raw, dict) and "optimizer" in raw:
+        names = reference_param_order(
+            cfg.model.transformer.encoder_layer,
+            cfg.model.transformer.decoder_layer,
+            multi_speaker=cfg.model.multi_speaker,
+            use_jdit=cfg.model.jdit.use_jdit)
+        state = state.replace(opt_state=import_torch_optimizer(
+            state.opt_state, raw["optimizer"], param_names=names))
+        with_opt = True
 
     mgr = CheckpointManager(args.out or cfg.train.path.ckpt_path)
     mgr.save(args.step, state)
-    print(f"converted {args.torch_ckpt} -> {mgr.ckpt_dir} @ step {args.step}")
+    print(f"converted {args.torch_ckpt} -> {mgr.ckpt_dir} @ step {args.step}"
+          f"{' (with Adam moments)' if with_opt else ''}")
 
 
 if __name__ == "__main__":

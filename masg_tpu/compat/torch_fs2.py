@@ -348,8 +348,9 @@ def _find_adam_state(opt_state):
     return adam_idx, sched_idx
 
 
-def export_torch_optimizer(opt_state, torch_model, betas=(0.9, 0.98),
-                           eps=1e-9, weight_decay=0.0) -> Dict[str, Any]:
+def export_torch_optimizer(opt_state, torch_model=None, betas=(0.9, 0.98),
+                           eps=1e-9, weight_decay=0.0,
+                           param_names=None) -> Dict[str, Any]:
     """masg_tpu optimizer state -> torch.optim.Adam state_dict, loadable by
     the reference's ScheduledOptim (reference train.py:66-73,276-285 saves
     optimizer._optimizer.state_dict() and restores it on resume). The step
@@ -363,7 +364,8 @@ def export_torch_optimizer(opt_state, torch_model, betas=(0.9, 0.98),
     count = int(adam.count)
 
     state = {}
-    names = [n for n, _ in torch_model.named_parameters()]
+    names = (param_names if param_names is not None
+             else [n for n, _ in torch_model.named_parameters()])
     for i, n in enumerate(names):
         # requires_grad=False "parameters" (the reference registers its
         # positional tables and pitch/energy bins that way) never receive
@@ -389,8 +391,9 @@ def export_torch_optimizer(opt_state, torch_model, betas=(0.9, 0.98),
     }
 
 
-def import_torch_optimizer(opt_state, torch_adam_sd, torch_model,
-                           encoder_layers: int, decoder_layers: int):
+def import_torch_optimizer(opt_state, torch_adam_sd, torch_model=None,
+                           encoder_layers: int = None,
+                           decoder_layers: int = None, param_names=None):
     """torch.optim.Adam state_dict -> masg_tpu optimizer state: fills the
     Adam moments (converted through the same layout mapping as the weights)
     and both step counts (Adam bias correction + Noam schedule) into a
@@ -398,7 +401,8 @@ def import_torch_optimizer(opt_state, torch_adam_sd, torch_model,
     import jax
 
     adam_idx, sched_idx = _find_adam_state(opt_state)
-    names = [n for n, _ in torch_model.named_parameters()]
+    names = (param_names if param_names is not None
+             else [n for n, _ in torch_model.named_parameters()])
     st = torch_adam_sd["state"]
     # grad-less params (requires_grad=False tables/bins) have no state entry
     exp_avg = {n: st[i]["exp_avg"].numpy()
@@ -407,6 +411,15 @@ def import_torch_optimizer(opt_state, torch_adam_sd, torch_model,
                   for i, n in enumerate(names) if i in st}
     count = int(next(iter(st.values()))["step"]) if st else 0
 
+    def _n_layers(stack):
+        idx = [int(k.split(".")[2]) for k in exp_avg
+               if k.startswith(f"{stack}.layer_stack.")]
+        return max(idx) + 1 if idx else 0
+
+    if encoder_layers is None:
+        encoder_layers = _n_layers("encoder")
+    if decoder_layers is None:
+        decoder_layers = _n_layers("decoder")
     mu, _ = convert_torch_fastspeech2(exp_avg, encoder_layers, decoder_layers)
     nu, _ = convert_torch_fastspeech2(exp_avg_sq, encoder_layers, decoder_layers)
 
@@ -422,3 +435,161 @@ def import_torch_optimizer(opt_state, torch_adam_sd, torch_model,
         out[sched_idx] = opt_state[sched_idx]._replace(
             count=np.asarray(count, np.int32))
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Self-contained reference-format checkpoints (no reference code needed)
+# ---------------------------------------------------------------------------
+
+
+def _fft_layer_param_names(prefix):
+    names = []
+    for m in ("w_qs", "w_ks", "w_vs", "layer_norm", "fc"):
+        names += [f"{prefix}.slf_attn.{m}.weight", f"{prefix}.slf_attn.{m}.bias"]
+    for m in ("w_1", "w_2", "layer_norm"):
+        names += [f"{prefix}.pos_ffn.{m}.weight", f"{prefix}.pos_ffn.{m}.bias"]
+    return names
+
+
+def _predictor_param_names(prefix):
+    names = []
+    for m in ("conv_layer.conv1d_1.conv", "conv_layer.layer_norm_1",
+              "conv_layer.conv1d_2.conv", "conv_layer.layer_norm_2",
+              "linear_layer"):
+        names += [f"{prefix}.{m}.weight", f"{prefix}.{m}.bias"]
+    return names
+
+
+def reference_param_order(encoder_layers: int, decoder_layers: int,
+                          multi_speaker: bool = True, use_jdit: bool = False,
+                          postnet_convs: int = 5):
+    """The reference FastSpeech2's named_parameters() order — torch Adam
+    state_dicts key their per-param state by position in this list, so a
+    reference-loadable optimizer export must reproduce it exactly (incl. the
+    grad-less requires_grad=False entries: position tables and bins).
+    Registration order: a module's OWN Parameters list before its children's
+    (position_enc/bins first within encoder/variance_adaptor). Validated
+    against the live reference model in tests/test_torch_train_parity.py."""
+    names = ["encoder.position_enc", "encoder.src_word_emb.weight",
+             "encoder.src_accent_emb.weight"]
+    for i in range(encoder_layers):
+        names += _fft_layer_param_names(f"encoder.layer_stack.{i}")
+    names += ["variance_adaptor.pitch_bins", "variance_adaptor.energy_bins"]
+    for vp in ("duration_predictor", "pitch_predictor", "energy_predictor"):
+        names += _predictor_param_names(f"variance_adaptor.{vp}")
+    names += ["variance_adaptor.pitch_embedding.weight",
+              "variance_adaptor.energy_embedding.weight",
+              "decoder.position_enc"]
+    for i in range(decoder_layers):
+        names += _fft_layer_param_names(f"decoder.layer_stack.{i}")
+    names += ["mel_linear.weight", "mel_linear.bias"]
+    if use_jdit:
+        d = "jdit.decoder"
+        names += [f"{d}.prenet.layers.0.linear_layer.weight",
+                  f"{d}.prenet.layers.1.linear_layer.weight"]
+        names += [f"{d}.attention_rnn.{k}" for k in
+                  ("weight_ih", "weight_hh", "bias_ih", "bias_hh")]
+        names += [f"{d}.attention_layer.query_layer.linear_layer.weight",
+                  f"{d}.attention_layer.memory_layer.linear_layer.weight",
+                  f"{d}.attention_layer.v.linear_layer.weight",
+                  f"{d}.attention_layer.location_layer.location_conv.conv.weight",
+                  f"{d}.attention_layer.location_layer.location_dense.linear_layer.weight"]
+        names += [f"{d}.decoder_rnn.{k}" for k in
+                  ("weight_ih", "weight_hh", "bias_ih", "bias_hh")]
+        names += [f"{d}.linear_projection.linear_layer.weight",
+                  f"{d}.linear_projection.linear_layer.bias",
+                  f"{d}.gate_layer.linear_layer.weight",
+                  f"{d}.gate_layer.linear_layer.bias"]
+    for i in range(postnet_convs):
+        names += [f"postnet.convolutions.{i}.0.conv.weight",
+                  f"postnet.convolutions.{i}.0.conv.bias",
+                  f"postnet.convolutions.{i}.1.weight",
+                  f"postnet.convolutions.{i}.1.bias"]
+    if multi_speaker:
+        names += ["speaker_emb.weight"]
+        for m in ("pi_linear.0", "sigma_linear.0", "mu_linear"):
+            names += [f"speaker_enc.{m}.weight", f"speaker_enc.{m}.bias"]
+    return names
+
+
+def _sinusoid_table(n_position: int, d_hid: int) -> np.ndarray:
+    """Reference transformer/Models.py:10-31 verbatim (f32, as
+    torch.FloatTensor casts)."""
+    pos = np.arange(n_position)[:, None]
+    hid = np.arange(d_hid)[None, :]
+    angle = pos / np.power(10000, 2 * (hid // 2) / d_hid)
+    table = np.array(angle, np.float64)
+    table[:, 0::2] = np.sin(table[:, 0::2])
+    table[:, 1::2] = np.cos(table[:, 1::2])
+    return table.astype(np.float32)
+
+
+def reference_buffers(max_seq_len: int, encoder_hidden: int, decoder_hidden: int,
+                      pitch_stats, energy_stats,
+                      pitch_quantization: str = "linear",
+                      energy_quantization: str = "linear", n_bins: int = 256,
+                      postnet_convs: int = 5) -> Dict[str, Any]:
+    """The reference's derived non-trainable state_dict entries, recomputed
+    from config exactly as its modules do (Models.py:39,63-65 position
+    tables; modules.py:47-71 pitch/energy bins; BatchNorm
+    num_batches_tracked) — makes an exported state_dict strict-loadable
+    without the reference model in hand."""
+    out: Dict[str, Any] = {
+        "encoder.position_enc": _sinusoid_table(max_seq_len + 1,
+                                                encoder_hidden)[None],
+        "decoder.position_enc": _sinusoid_table(max_seq_len + 1,
+                                                decoder_hidden)[None],
+    }
+    try:
+        # bit-exact vs the reference's torch.linspace kernel; any consumer
+        # of a torch checkpoint has torch installed
+        import torch
+
+        def _linspace(a, b, n):
+            return torch.linspace(a, b, n).numpy()
+    except ImportError:  # numpy fallback: within 1 ulp of torch's kernel
+        def _linspace(a, b, n):
+            return np.linspace(a, b, n).astype(np.float32)
+
+    for key, stats, quant in (("pitch", pitch_stats, pitch_quantization),
+                              ("energy", energy_stats, energy_quantization)):
+        lo, hi = float(stats[0]), float(stats[1])
+        if quant == "log":
+            bins = np.exp(_linspace(np.log(lo), np.log(hi), n_bins - 1))
+        else:
+            bins = _linspace(lo, hi, n_bins - 1)
+        out[f"variance_adaptor.{key}_bins"] = bins
+    for i in range(postnet_convs):
+        out[f"postnet.convolutions.{i}.1.num_batches_tracked"] = np.asarray(
+            0, np.int64)
+    return out
+
+
+def export_torch_checkpoint(params, batch_stats, cfg, opt_state=None):
+    """Full reference-format checkpoint dict {"model": state_dict[,
+    "optimizer": adam_state_dict]} from a masg_tpu train state — the inverse
+    of load_torch_checkpoint, strict-loadable by the reference's
+    `model.load_state_dict(ckpt["model"])` + ScheduledOptim restore
+    (reference train.py:66-73,276-285). `cfg` is our ExperimentConfig (for
+    the derived buffers and the canonical parameter order)."""
+    tr = cfg.model.transformer
+    sd = reference_buffers(
+        cfg.model.max_seq_len, tr.encoder_hidden, tr.decoder_hidden,
+        cfg.stats.pitch, cfg.stats.energy,
+        cfg.model.variance_embedding.pitch_quantization,
+        cfg.model.variance_embedding.energy_quantization,
+        cfg.model.variance_embedding.n_bins,
+    )
+    sd.update(export_torch_fastspeech2(params, batch_stats))
+    out = {"model": sd}
+    if opt_state is not None:
+        names = reference_param_order(
+            tr.encoder_layer, tr.decoder_layer,
+            multi_speaker=cfg.model.multi_speaker,
+            use_jdit=cfg.model.jdit.use_jdit,
+        )
+        opt = cfg.train.optimizer
+        out["optimizer"] = export_torch_optimizer(
+            opt_state, betas=tuple(opt.betas), eps=opt.eps,
+            weight_decay=opt.weight_decay, param_names=names)
+    return out
