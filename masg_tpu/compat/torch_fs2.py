@@ -67,15 +67,21 @@ def _variance_predictor(sd, prefix):
     }
 
 
-def _lstm_cell(sd, prefix, sfx=""):
+def _lstm_cell(sd, prefix, sfx="", bias_mode="sum"):
     """torch nn.LSTMCell / nn.LSTM layer -> flax OptimizedLSTMCell params.
     `sfx` selects an nn.LSTM layer ("_l0", "_l1", ...); empty for LSTMCell.
     The two torch biases fold into one (forward-identical; see train/optim.py
-    double_lstm_bias_updates for the matching update-math compat)."""
+    double_lstm_bias_updates for the matching update-math compat).
+
+    bias_mode: "sum" for WEIGHTS (the folded bias is b_ih + b_hh); "mean"
+    for Adam MOMENTS — both torch biases carry identical moments, and the
+    folded parameter's moment equals each of them, not their sum."""
     wi = np.asarray(sd[f"{prefix}.weight_ih{sfx}"])  # (4H, in)
     wh = np.asarray(sd[f"{prefix}.weight_hh{sfx}"])  # (4H, H)
     b = (np.asarray(sd[f"{prefix}.bias_ih{sfx}"])
          + np.asarray(sd[f"{prefix}.bias_hh{sfx}"]))
+    if bias_mode == "mean":
+        b = b / 2.0
     h = wh.shape[1]
     cell: Dict[str, Any] = {}
     for gi, g in enumerate(["i", "f", "g", "o"]):  # torch gate order i,f,g,o
@@ -85,7 +91,7 @@ def _lstm_cell(sd, prefix, sfx=""):
     return cell
 
 
-def convert_torch_jdit(sd) -> Dict[str, Any]:
+def convert_torch_jdit(sd, bias_mode="sum") -> Dict[str, Any]:
     """jdit.decoder.* torch keys (reference model/jdit.py:238-520 Tacotron2
     teacher) -> our models/jdit.py param tree (prenet + memory_layer at the
     decoder level, everything per-frame under the scanned 'step' module)."""
@@ -99,8 +105,10 @@ def convert_torch_jdit(sd) -> Dict[str, Any]:
             "memory_layer": _lin(
                 sd, f"{d}.attention_layer.memory_layer.linear_layer"),
             "step": {
-                "attention_rnn": _lstm_cell(sd, f"{d}.attention_rnn"),
-                "decoder_rnn": _lstm_cell(sd, f"{d}.decoder_rnn"),
+                "attention_rnn": _lstm_cell(sd, f"{d}.attention_rnn",
+                                            bias_mode=bias_mode),
+                "decoder_rnn": _lstm_cell(sd, f"{d}.decoder_rnn",
+                                          bias_mode=bias_mode),
                 "query_layer": _lin(
                     sd, f"{d}.attention_layer.query_layer.linear_layer"),
                 "v": _lin(sd, f"{d}.attention_layer.v.linear_layer"),
@@ -122,6 +130,7 @@ def convert_torch_fastspeech2(
     decoder_layers: int,
     multi_speaker: bool = True,
     postnet_convs: int = 5,
+    lstm_bias_mode: str = "sum",
 ) -> Tuple[dict, dict]:
     """Reference state_dict -> (params, batch_stats) for our FastSpeech2."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
@@ -168,7 +177,7 @@ def convert_torch_fastspeech2(
     batch_stats["postnet"] = postnet_bs
 
     if "jdit.decoder.attention_rnn.weight_ih" in sd:
-        params["jdit"] = convert_torch_jdit(sd)
+        params["jdit"] = convert_torch_jdit(sd, bias_mode=lstm_bias_mode)
 
     if multi_speaker and "speaker_emb.weight" in sd:
         params["speaker_emb"] = {"embedding": sd["speaker_emb.weight"]}
@@ -232,11 +241,13 @@ def _variance_predictor_out(out, prefix, p):
     _lin_out(out, f"{prefix}.linear_layer", p["linear_layer"])
 
 
-def _lstm_cell_out(out, prefix, cell, sfx=""):
+def _lstm_cell_out(out, prefix, cell, sfx="", halve_bias=True):
     """Inverse of _lstm_cell: flax folded-bias cell -> torch two-bias layout.
     The folded bias splits evenly (bias_ih = bias_hh = B/2) — exact for the
     reference GE2E stack (zero-init keeps both biases equal forever) and for
-    any checkpoint trained here, where only the sum is ever defined."""
+    any checkpoint trained here, where only the sum is ever defined.
+    halve_bias=False for Adam MOMENTS: each torch bias carries the folded
+    parameter's moment verbatim."""
     h = np.asarray(cell["hi"]["kernel"]).shape[0]
     wi = np.concatenate([np.asarray(cell[f"i{g}"]["kernel"]).T
                          for g in ("i", "f", "g", "o")], axis=0)
@@ -245,13 +256,16 @@ def _lstm_cell_out(out, prefix, cell, sfx=""):
     b = np.concatenate([np.asarray(cell[f"h{g}"]["bias"])
                         for g in ("i", "f", "g", "o")], axis=0)
     del h
+    if halve_bias:
+        b = b / 2.0
     out[f"{prefix}.weight_ih{sfx}"] = wi
     out[f"{prefix}.weight_hh{sfx}"] = wh
-    out[f"{prefix}.bias_ih{sfx}"] = b / 2.0
-    out[f"{prefix}.bias_hh{sfx}"] = b / 2.0
+    out[f"{prefix}.bias_ih{sfx}"] = b
+    out[f"{prefix}.bias_hh{sfx}"] = b
 
 
-def export_torch_fastspeech2(params, batch_stats=None) -> Dict[str, Any]:
+def export_torch_fastspeech2(params, batch_stats=None,
+                             lstm_halve_bias=True) -> Dict[str, Any]:
     """masg_tpu FastSpeech2 params (+batch_stats) -> reference torch
     state_dict fragment (numpy arrays), the exact inverse of
     convert_torch_fastspeech2. Covers every key the converter consumes; the
@@ -303,8 +317,10 @@ def export_torch_fastspeech2(params, batch_stats=None) -> Dict[str, Any]:
         _lin_out(out, "jdit.decoder.attention_layer.memory_layer.linear_layer",
                  d["memory_layer"])
         st = d["step"]
-        _lstm_cell_out(out, "jdit.decoder.attention_rnn", st["attention_rnn"])
-        _lstm_cell_out(out, "jdit.decoder.decoder_rnn", st["decoder_rnn"])
+        _lstm_cell_out(out, "jdit.decoder.attention_rnn", st["attention_rnn"],
+                       halve_bias=lstm_halve_bias)
+        _lstm_cell_out(out, "jdit.decoder.decoder_rnn", st["decoder_rnn"],
+                       halve_bias=lstm_halve_bias)
         _lin_out(out, "jdit.decoder.attention_layer.query_layer.linear_layer",
                  st["query_layer"])
         _lin_out(out, "jdit.decoder.attention_layer.v.linear_layer", st["v"])
@@ -349,8 +365,8 @@ def _find_adam_state(opt_state):
 
 
 def export_torch_optimizer(opt_state, torch_model=None, betas=(0.9, 0.98),
-                           eps=1e-9, weight_decay=0.0,
-                           param_names=None) -> Dict[str, Any]:
+                           eps=1e-9, weight_decay=0.0, param_names=None,
+                           moments_fn=None) -> Dict[str, Any]:
     """masg_tpu optimizer state -> torch.optim.Adam state_dict, loadable by
     the reference's ScheduledOptim (reference train.py:66-73,276-285 saves
     optimizer._optimizer.state_dict() and restores it on resume). The step
@@ -359,8 +375,10 @@ def export_torch_optimizer(opt_state, torch_model=None, betas=(0.9, 0.98),
 
     adam_idx, _ = _find_adam_state(opt_state)
     adam = opt_state[adam_idx]
-    mu = export_torch_fastspeech2(adam.mu)
-    nu = export_torch_fastspeech2(adam.nu)
+    fn = moments_fn or (lambda t: export_torch_fastspeech2(
+        t, lstm_halve_bias=False))
+    mu = fn(adam.mu)
+    nu = fn(adam.nu)
     count = int(adam.count)
 
     state = {}
@@ -393,7 +411,8 @@ def export_torch_optimizer(opt_state, torch_model=None, betas=(0.9, 0.98),
 
 def import_torch_optimizer(opt_state, torch_adam_sd, torch_model=None,
                            encoder_layers: int = None,
-                           decoder_layers: int = None, param_names=None):
+                           decoder_layers: int = None, param_names=None,
+                           moments_fn=None):
     """torch.optim.Adam state_dict -> masg_tpu optimizer state: fills the
     Adam moments (converted through the same layout mapping as the weights)
     and both step counts (Adam bias correction + Noam schedule) into a
@@ -411,17 +430,18 @@ def import_torch_optimizer(opt_state, torch_adam_sd, torch_model=None,
                   for i, n in enumerate(names) if i in st}
     count = int(next(iter(st.values()))["step"]) if st else 0
 
-    def _n_layers(stack):
-        idx = [int(k.split(".")[2]) for k in exp_avg
-               if k.startswith(f"{stack}.layer_stack.")]
-        return max(idx) + 1 if idx else 0
+    if moments_fn is None:
+        def _n_layers(stack):
+            idx = [int(k.split(".")[2]) for k in exp_avg
+                   if k.startswith(f"{stack}.layer_stack.")]
+            return max(idx) + 1 if idx else 0
 
-    if encoder_layers is None:
-        encoder_layers = _n_layers("encoder")
-    if decoder_layers is None:
-        decoder_layers = _n_layers("decoder")
-    mu, _ = convert_torch_fastspeech2(exp_avg, encoder_layers, decoder_layers)
-    nu, _ = convert_torch_fastspeech2(exp_avg_sq, encoder_layers, decoder_layers)
+        el = encoder_layers if encoder_layers is not None else _n_layers("encoder")
+        dl = decoder_layers if decoder_layers is not None else _n_layers("decoder")
+        moments_fn = lambda d: convert_torch_fastspeech2(
+            d, el, dl, lstm_bias_mode="mean")[0]
+    mu = moments_fn(exp_avg)
+    nu = moments_fn(exp_avg_sq)
 
     adam = opt_state[adam_idx]
     cast = lambda new, like: jax.tree.map(
@@ -593,3 +613,119 @@ def export_torch_checkpoint(params, batch_stats, cfg, opt_state=None):
             opt_state, betas=tuple(opt.betas), eps=opt.eps,
             weight_decay=opt.weight_decay, param_names=names)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ganlike checkpoints: {"model", "discriminator", "optimizer"}
+# (reference train_ganlike.py:247-257; the single ScheduledOptim covers
+# GANLike(model, discriminator).parameters() — "model.*" then
+# "discriminator.*" in registration order)
+# ---------------------------------------------------------------------------
+
+
+def export_torch_ge2e(params, lstm_halve_bias=True) -> Dict[str, Any]:
+    """Inverse of train/loop.py convert_torch_ge2e: our SpeechEmbedder params
+    -> the reference GE2E submodule's state_dict keys."""
+    out: Dict[str, Any] = {}
+    i = 0
+    while f"OptimizedLSTMCell_{i}" in params:
+        _lstm_cell_out(out, "LSTM_stack", params[f"OptimizedLSTMCell_{i}"],
+                       sfx=f"_l{i}", halve_bias=lstm_halve_bias)
+        i += 1
+    _lin_out(out, "projection.linear_layer", params["projection"])
+    for j in range(2):
+        if f"da_linear_{j}" in params:
+            _lin_out(out,
+                     f"da_classifier.classifier.layer.linear_{j}.linear_layer",
+                     params[f"da_linear_{j}"])
+    if "da_linear_out" in params:
+        _lin_out(out, "da_classifier.classifier.layer.linear_2.linear_layer",
+                 params["da_linear_out"])
+    return out
+
+
+def ge2e_param_order(n_layers: int = 3, use_da: bool = True):
+    """Reference SpeechEmbedder named_parameters() order
+    (speech_embedder_net.py:65-90: LSTM_stack, projection, da_classifier).
+    Validated against the live module in tests/test_torch_export.py."""
+    names = []
+    for i in range(n_layers):
+        names += [f"LSTM_stack.weight_ih_l{i}", f"LSTM_stack.weight_hh_l{i}",
+                  f"LSTM_stack.bias_ih_l{i}", f"LSTM_stack.bias_hh_l{i}"]
+    names += ["projection.linear_layer.weight", "projection.linear_layer.bias"]
+    if use_da:
+        for j in range(3):
+            names += [
+                f"da_classifier.classifier.layer.linear_{j}.linear_layer.weight",
+                f"da_classifier.classifier.layer.linear_{j}.linear_layer.bias",
+            ]
+    return names
+
+
+def _split_prefixed(d, prefix):
+    return {k[len(prefix):]: v for k, v in d.items() if k.startswith(prefix)}
+
+
+def export_torch_ganlike_checkpoint(params, batch_stats, cfg, opt_state=None,
+                                    disc_n_layers: int = 3):
+    """Full reference-format ganlike checkpoint {"model", "discriminator"[,
+    "optimizer"]} from a ganlike train state (params nested as
+    {"model", "discriminator"}), strict-loadable by train_ganlike.py's
+    restore (:66-85)."""
+    tr = cfg.model.transformer
+    model_sd = reference_buffers(
+        cfg.model.max_seq_len, tr.encoder_hidden, tr.decoder_hidden,
+        cfg.stats.pitch, cfg.stats.energy,
+        cfg.model.variance_embedding.pitch_quantization,
+        cfg.model.variance_embedding.energy_quantization,
+        cfg.model.variance_embedding.n_bins,
+    )
+    model_sd.update(export_torch_fastspeech2(params["model"], batch_stats))
+    out = {"model": model_sd,
+           "discriminator": export_torch_ge2e(params["discriminator"])}
+    if opt_state is not None:
+        names = (["model." + n for n in reference_param_order(
+                     tr.encoder_layer, tr.decoder_layer,
+                     multi_speaker=cfg.model.multi_speaker,
+                     use_jdit=cfg.model.jdit.use_jdit)]
+                 + ["discriminator." + n for n in ge2e_param_order(disc_n_layers)])
+
+        def moments(tree):
+            m = {"model." + k: v for k, v in export_torch_fastspeech2(
+                tree["model"], lstm_halve_bias=False).items()}
+            m.update({"discriminator." + k: v for k, v in export_torch_ge2e(
+                tree["discriminator"], lstm_halve_bias=False).items()})
+            return m
+
+        opt = cfg.train.optimizer
+        out["optimizer"] = export_torch_optimizer(
+            opt_state, betas=tuple(opt.betas), eps=opt.eps,
+            weight_decay=opt.weight_decay, param_names=names,
+            moments_fn=moments)
+    return out
+
+
+def import_torch_ganlike_optimizer(opt_state, torch_adam_sd, cfg,
+                                   discriminator):
+    """torch Adam state_dict from a ganlike checkpoint -> our joint
+    optimizer state ({"model", "discriminator"} moment trees)."""
+    from ..train.loop import convert_torch_ge2e
+
+    tr = cfg.model.transformer
+    names = (["model." + n for n in reference_param_order(
+                 tr.encoder_layer, tr.decoder_layer,
+                 multi_speaker=cfg.model.multi_speaker,
+                 use_jdit=cfg.model.jdit.use_jdit)]
+             + ["discriminator." + n
+                for n in ge2e_param_order(discriminator.n_layers)])
+
+    def moments(d):
+        mt, _ = convert_torch_fastspeech2(
+            _split_prefixed(d, "model."), tr.encoder_layer, tr.decoder_layer,
+            multi_speaker=cfg.model.multi_speaker, lstm_bias_mode="mean")
+        dt = convert_torch_ge2e(_split_prefixed(d, "discriminator."),
+                                discriminator, bias_mode="mean")
+        return {"model": mt, "discriminator": dt}
+
+    return import_torch_optimizer(opt_state, torch_adam_sd,
+                                  param_names=names, moments_fn=moments)

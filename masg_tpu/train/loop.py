@@ -582,8 +582,10 @@ def load_ge2e_checkpoint(path: str, discriminator):
     return convert_torch_ge2e(state, discriminator)
 
 
-def convert_torch_ge2e(state_dict, discriminator):
-    """torch LSTM/Linear weights -> flax SpeechEmbedder params."""
+def convert_torch_ge2e(state_dict, discriminator, bias_mode="sum"):
+    """torch LSTM/Linear weights -> flax SpeechEmbedder params.
+    bias_mode="mean" when converting Adam-moment dicts (see compat
+    _lstm_cell)."""
     import numpy as np
 
     from ..compat.torch_fs2 import _lstm_cell
@@ -592,7 +594,8 @@ def convert_torch_ge2e(state_dict, discriminator):
     params = {}
     for i in range(discriminator.n_layers):
         # gate-order split + bias fold shared with the jdit converter
-        params[f"OptimizedLSTMCell_{i}"] = _lstm_cell(sd, "LSTM_stack", f"_l{i}")
+        params[f"OptimizedLSTMCell_{i}"] = _lstm_cell(sd, "LSTM_stack",
+                                                      f"_l{i}", bias_mode)
     params["projection"] = {
         "kernel": sd["projection.linear_layer.weight"].T,
         "bias": sd["projection.linear_layer.bias"],

@@ -524,7 +524,9 @@ def test_training_trajectory_parity_use_clf(no_dropout, tmp_path):
     assert any(r["dloss"] != 0.0 for r in ref_traj)
 
 
-def _torch_ganlike_trajectory(batches, total_step, lambd, tmpdir, seed=0):
+def _torch_ganlike_trajectory(batches, total_step, lambd, tmpdir, seed=0,
+                              live_in=None, start_step=0, return_live=False,
+                              disc_lstm_scale=None):
     """Replicates train_ganlike.py:140-175 + model/ganlike.py:10-45: joint
     FS2+discriminator under ONE ScheduledOptim, speaker-shuffled second
     forward, 150-frame chunking, jittered-label BCE (dloss NOT divided by
@@ -537,27 +539,41 @@ def _torch_ganlike_trajectory(batches, total_step, lambd, tmpdir, seed=0):
     net_mod = _import_ref_ge2e()
     pre, mdl = _ref_configs(tmpdir)
 
-    torch.manual_seed(seed)
-    model = fs2_mod.FastSpeech2(pre, mdl, tmpdir).double()
-    torch.manual_seed(seed + 100)
-    disc = net_mod.SpeechEmbedder().double()
-    model.train()
-    disc.train()
+    if live_in is not None:
+        model, disc, optim = live_in
+    else:
+        torch.manual_seed(seed)
+        model = fs2_mod.FastSpeech2(pre, mdl, tmpdir).double()
+        torch.manual_seed(seed + 100)
+        disc = net_mod.SpeechEmbedder().double()
+        if disc_lstm_scale is not None:
+            # the UNCLIPPED ganlike discriminator's backward through 150
+            # teacher frames explodes at standard LSTM init (Adam moments
+            # reach ~1e17 within 2 steps — a latent reference hazard, since
+            # train_ganlike.py clips model.parameters() only); scale the
+            # recurrent weights into the regular regime so trajectory
+            # assertions measure semantics rather than f64 chaos
+            with torch.no_grad():
+                for n, p in disc.named_parameters():
+                    if "LSTM_stack.weight" in n:
+                        p.mul_(disc_lstm_scale)
+        model.train()
+        disc.train()
+        wrapper = torch.nn.Module()  # ScheduledOptim(ganlike): both halves
+        wrapper.add_module("model", model)
+        wrapper.add_module("discriminator", disc)
+        train_cfg = {"optimizer": {"betas": [0.9, 0.98], "eps": EPS,
+                                   "weight_decay": 0.0, "warm_up_step": WARMUP,
+                                   "anneal_steps": [300000, 400000, 500000],
+                                   "anneal_rate": 0.3}}
+        optim = opt_mod.ScheduledOptim(wrapper, train_cfg, mdl,
+                                       current_step=start_step)
     Loss = loss_mod.FastSpeech2Loss(pre, mdl)
     eLoss = loss_mod.SpeakerMetaEncLoss(pre, mdl)
     dLoss = net_mod.GE2ELoss("cpu")
 
-    wrapper = torch.nn.Module()  # ScheduledOptim(ganlike) sees both halves
-    wrapper.add_module("model", model)
-    wrapper.add_module("discriminator", disc)
-    train_cfg = {"optimizer": {"betas": [0.9, 0.98], "eps": EPS,
-                               "weight_decay": 0.0, "warm_up_step": WARMUP,
-                               "anneal_steps": [300000, 400000, 500000],
-                               "anneal_rate": 0.3}}
-    optim = opt_mod.ScheduledOptim(wrapper, train_cfg, mdl, current_step=0)
-
     traj = []
-    step = 1
+    step = start_step + 1
     for b in batches:
         batch = (
             None, None, torch.from_numpy(b["speakers"]),
@@ -612,6 +628,8 @@ def _torch_ganlike_trajectory(batches, total_step, lambd, tmpdir, seed=0):
                      "energy": float(losses[4]), "duration": float(losses[5]),
                      "eloss": float(eloss), "dloss": float(dloss)})
         step += 1
+    if return_live:
+        return traj, model, disc, optim
     return traj
 
 
@@ -775,3 +793,148 @@ def test_mid_training_migration_round_trip(no_dropout, tmp_path):
         live_in=(model_t, optim_t), start_step=6, return_live=True)
 
     _assert_traj_match(straight, seg_a + seg_b + seg_c, rtol=1e-5)
+
+
+def test_ganlike_mid_training_migration_round_trip(no_dropout, tmp_path):
+    """The adversarial trainer's checkpoint format {"model","discriminator",
+    "optimizer"} (train_ganlike.py:247-257) also migrates both ways with
+    trajectory continuity: 2 torch ganlike steps -> import (both halves'
+    weights + the JOINT Adam moments over GANLike.parameters()) -> 2 fused
+    steps here -> export_torch_ganlike_checkpoint -> 2 more torch steps
+    reproduces a straight 6-step torch run."""
+    import jax
+
+    total_step = 100
+    batches = _make_batches(6, seed=9)
+    rng = np.random.default_rng(11)
+    for b in batches:
+        R = T // 150 + 1
+        b["lang_jitter"] = rng.uniform(size=B * R)
+
+    # disc_lstm_scale: see _torch_ganlike_trajectory — at standard init the
+    # unclipped discriminator's BPTT explodes (moments ~1e17) and f64
+    # reassociation noise injected at the framework switch dominates; the
+    # scaled regime keeps the continuity assertion about semantics
+    straight = _torch_ganlike_trajectory(batches, total_step, 1.0,
+                                         str(tmp_path), disc_lstm_scale=2.0)
+    # live straight run to the switch-back point: the strongest migration
+    # claim is STATE equality there (weights + Adam moments), asserted below
+    _, m4, d4, o4 = _torch_ganlike_trajectory(
+        batches[:4], total_step, 1.0, str(tmp_path), return_live=True,
+        disc_lstm_scale=2.0)
+    seg_a, model_t, disc_t, optim_t = _torch_ganlike_trajectory(
+        batches[:2], total_step, 1.0, str(tmp_path), return_live=True,
+        disc_lstm_scale=2.0)
+
+    sd_model = {k: v.detach().numpy().copy() for k, v in model_t.state_dict().items()}
+    sd_disc = {k: v.detach().numpy().copy() for k, v in disc_t.state_dict().items()}
+    adam_sd = optim_t._optimizer.state_dict()
+
+    with jax.enable_x64(True):
+        import jax.numpy as jnp
+
+        from masg_tpu.compat.torch_fs2 import (
+            convert_torch_fastspeech2, export_torch_ganlike_checkpoint,
+            import_torch_ganlike_optimizer)
+        from masg_tpu.models import FastSpeech2
+        from masg_tpu.models.speaker_encoder import SpeechEmbedder
+        from masg_tpu.train.loop import convert_torch_ge2e
+        from masg_tpu.train.optim import make_optimizer
+        from masg_tpu.train.state import TrainState
+        from masg_tpu.train.step import make_ganlike_train_step
+
+        to64 = lambda tree: jax.tree.map(
+            lambda x: x.astype(np.float64)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x, tree)
+
+        cfg = _our_config()
+        params, batch_stats = convert_torch_fastspeech2(sd_model, 2, 2)
+        model = FastSpeech2.from_config(cfg, dtype=jnp.float64)
+        disc = SpeechEmbedder(n_mels=80, hidden=64, n_layers=2, proj=32,
+                              dtype=jnp.float64)
+        disc_params = to64(convert_torch_ge2e(sd_disc, disc))
+
+        tx = make_optimizer(cfg.train.optimizer, 64, clip_subtree="model",
+                            torch_lstm_bias_compat=True)
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params={"model": to64(params), "discriminator": disc_params},
+            batch_stats=to64(batch_stats), tx=tx)
+        state = state.replace(
+            opt_state=import_torch_ganlike_optimizer(
+                state.opt_state, adam_sd, cfg, disc),
+            step=2)
+        step_fn = jax.jit(make_ganlike_train_step(
+            model, disc, lambd=1.0, total_step=total_step))
+
+        seg_b = []
+        key = jax.random.PRNGKey(0)
+        for b in batches[2:4]:
+            sb = dict(
+                speakers=jnp.asarray(b["speakers"].astype(np.int32)),
+                texts=jnp.asarray(b["texts"].astype(np.int32)),
+                src_lens=jnp.asarray(b["src_lens"].astype(np.int32)),
+                mels=jnp.asarray(b["mels"]),
+                mel_lens=jnp.asarray(b["mel_lens"].astype(np.int32)),
+                pitches=jnp.asarray(b["pitches"]),
+                energies=jnp.asarray(b["energies"]),
+                durations=jnp.asarray(b["durations"].astype(np.int32)),
+                accents=jnp.asarray(b["accents"].astype(np.int32)),
+                speaker_meta=jnp.asarray(b["meta"]),
+                reorder=jnp.asarray(b["reorder"].astype(np.int32)),
+                lang_jitter=jnp.asarray(b["lang_jitter"]),
+            )
+            key, sub = jax.random.split(key)
+            state, m = step_fn(state, sb, sub)
+            seg_b.append({"total": float(m.total), "mel": float(m.mel),
+                          "postnet_mel": float(m.postnet_mel),
+                          "pitch": float(m.pitch), "energy": float(m.energy),
+                          "duration": float(m.duration),
+                          "eloss": float(m.speaker_prior),
+                          "dloss": float(m.dloss)})
+        state = jax.device_get(state)
+        ckpt = export_torch_ganlike_checkpoint(
+            state.params, state.batch_stats, cfg, opt_state=state.opt_state,
+            disc_n_layers=2)
+
+    # --- state equality at the switch-back point vs the straight run ---
+    for k, v in ckpt["model"].items():
+        if k.endswith("num_batches_tracked"):
+            continue  # BN bookkeeping we don't track (unused at fixed momentum)
+        np.testing.assert_allclose(
+            np.asarray(v, np.float64), m4.state_dict()[k].numpy(),
+            atol=5e-8, err_msg=f"model.{k}")
+    for k, v in ckpt["discriminator"].items():
+        np.testing.assert_allclose(
+            np.asarray(v, np.float64), d4.state_dict()[k].numpy(),
+            atol=5e-8, err_msg=f"discriminator.{k}")
+    st4 = o4._optimizer.state_dict()["state"]
+    for i, entry in ckpt["optimizer"]["state"].items():
+        for kk in ("exp_avg", "exp_avg_sq"):
+            np.testing.assert_allclose(
+                entry[kk].double().numpy(), st4[i][kk].double().numpy(),
+                atol=5e-7, err_msg=f"adam[{i}].{kk}")
+
+    msd = model_t.state_dict()
+    msd.update({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in ckpt["model"].items()})
+    model_t.load_state_dict(msd)
+    disc_t.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in ckpt["discriminator"].items()})  # strict: full coverage
+    optim_t._optimizer.load_state_dict(ckpt["optimizer"])
+    optim_t.current_step = 4
+
+    seg_c = _torch_ganlike_trajectory(
+        batches[4:6], total_step, 1.0, str(tmp_path),
+        live_in=(model_t, disc_t, optim_t), start_step=4)
+
+    merged = seg_a + seg_b + seg_c
+    _assert_traj_match(straight, merged, rtol=1e-5,
+                       keys=["total", "mel", "postnet_mel", "pitch",
+                             "energy", "duration", "eloss"])
+    # dloss flows through the discriminator's 150-frame BPTT, which
+    # amplifies the ~1e-9 f64 reassociation noise injected at the framework
+    # switch by ~1e5/step (the FS2 losses above have no such recurrence);
+    # the switch-point STATE equality asserted above is the exact claim
+    _assert_traj_match(straight, merged, rtol=3e-2, keys=["dloss"])
