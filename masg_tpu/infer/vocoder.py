@@ -146,3 +146,61 @@ def vocoder_infer(
     if lengths is not None:
         out = [w[: int(l)] for w, l in zip(out, lengths)]
     return out
+
+
+def vocode_streaming(
+    vocoder: Vocoder,
+    mel: jnp.ndarray,
+    chunk_frames: int = 192,
+    context_frames: int = 24,
+):
+    """Stream the vocoder: yield int16 wav chunks whose concatenation equals
+    `vocoder_infer` on the full mel.
+
+    HiFi-GAN is fully convolutional, so an interior output sample depends
+    only on mel frames within the generator's receptive field — ~15 frames
+    per side for the stock v1 architecture (conv_pre 7 + MRF k=11/d=5 stacks
+    folded back through the 8-8-2-2 upsampling); `context_frames=24` leaves
+    margin (tests/test_vocoder_streaming.py asserts exact equality against
+    the full run). Boundary chunks keep the true utterance edge inside the
+    window so the generator's own zero padding applies exactly as in the
+    full run.
+
+    Why stream: first-audio latency becomes the vocode time of
+    `chunk_frames + 2*context_frames` frames instead of the whole utterance,
+    memory stays bounded for unbounded-length synthesis, and only TWO shapes
+    ever compile (first/last vs interior windows) regardless of input length.
+
+    mel: (1, T, n_mels) log-mel. Yields np.int16 arrays.
+    """
+    if mel.ndim != 3 or mel.shape[0] != 1:
+        raise ValueError("vocode_streaming expects a single utterance (1, T, n_mels)")
+    t = mel.shape[1]
+    k, c = chunk_frames, context_frames
+    h = vocoder.hop_length
+
+    def to_int16(w):
+        return np.clip(np.asarray(w) * vocoder.max_wav_value,
+                       -32768, 32767).astype("int16")
+
+    if t <= k + 2 * c:
+        yield to_int16(vocoder(mel)[0])
+        return
+
+    # first chunk: true left boundary, C right context (shape K+C)
+    wav = vocoder(mel[:, : k + c])[0]
+    yield to_int16(wav[: k * h])
+
+    pos = k
+    # interior chunks: C real frames of context each side (shape K+2C)
+    while pos + k + c <= t:
+        wav = vocoder(mel[:, pos - c : pos + k + c])[0]
+        yield to_int16(wav[c * h : (c + k) * h])
+        pos += k
+
+    remaining = t - pos
+    if remaining > 0:
+        # final chunk right-aligned at the true end (same K+2C shape as the
+        # interior): keeps >= C left context since remaining <= K+C
+        wav = vocoder(mel[:, t - (k + 2 * c) :])[0]
+        yield to_int16(wav[(k + 2 * c - remaining) * h :])
