@@ -10,6 +10,9 @@ request is one device dispatch.
 Endpoints:
   GET  /health      -> {"status": "ok", "buckets": {...}, "requests": N}
   POST /synthesize  -> audio/wav (RIFF, 16-bit PCM)
+  POST /synthesize_streaming -> chunked audio/wav: the first PCM block
+      arrives after ONE vocoder window (infer.serving.synthesize_streaming),
+      not the full utterance's vocode
       JSON body: {"phones": "{k o N n i ch i w a}",  # or "text" + "language"
                   "accents": "0[0000]00",             # optional
                   "speaker_id": 0,                    # or "speaker_emb": [..]
@@ -116,7 +119,62 @@ class SynthesisHandler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 
+    def _stream_wav(self, gen, sample_rate):
+        """Chunked-transfer streaming WAV: a RIFF header with the unknown-
+        length convention (0xFFFFFFFF sizes), then one HTTP chunk per PCM
+        block as the vocoder produces it."""
+        import struct
+
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("X-Sample-Rate", str(sample_rate))
+        self.end_headers()
+
+        def chunk(b: bytes):
+            self.wfile.write(f"{len(b):X}\r\n".encode())
+            self.wfile.write(b)
+            self.wfile.write(b"\r\n")
+            self.wfile.flush()
+
+        hdr = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                             sample_rate * 2, 2, 16)
+               + b"data" + struct.pack("<I", 0xFFFFFFFF))
+        chunk(hdr)
+        for pcm in gen:
+            chunk(np.ascontiguousarray(pcm).tobytes())
+        self.wfile.write(b"0\r\n\r\n")
+        self.wfile.flush()
+
     def do_POST(self):
+        if self.path == "/synthesize_streaming":
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                ids, accent_ids = request_to_ids(req, self.lexicon_path,
+                                                 self.config_dir)
+                gen = self.engine.synthesize_streaming(
+                    ids,
+                    accent_ids=accent_ids,
+                    speaker_id=int(req.get("speaker_id", 0)),
+                    pitch_control=float(req.get("pitch_control", 1.0)),
+                    energy_control=float(req.get("energy_control", 1.0)),
+                    duration_control=float(req.get("duration_control", 1.0)),
+                )
+                first = next(gen)  # synthesis errors surface as JSON, not
+                                   # as a broken audio stream
+            except (ValueError, StopIteration) as e:
+                self._json(400, {"error": str(e) or "empty synthesis"})
+                return
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            import itertools
+
+            self._stream_wav(itertools.chain([first], gen),
+                             self.engine.sample_rate)
+            return
         if self.path != "/synthesize":
             self._json(404, {"error": f"unknown path {self.path}"})
             return

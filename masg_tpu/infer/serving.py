@@ -107,6 +107,9 @@ class ServingEngine:
             L: self._build(L, self.mel_caps[L], from_emb=True)
             for L in self.text_buckets
         }
+        # mel-only variants for the streaming path, built lazily (most
+        # deployments never stream; don't double the warmup compile bill)
+        self._mel_fns: Dict[int, object] = {}
         self._lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0  # batched dispatches via synthesize_many
@@ -116,8 +119,11 @@ class ServingEngine:
         self.batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
 
     # ------------------------------------------------------------------
-    def _build(self, L: int, T: int, from_emb: bool = False):
+    def _build(self, L: int, T: int, from_emb: bool = False,
+               mel_only: bool = False):
         model, vocoder = self.model, self.vocoder
+        if mel_only:
+            vocoder = None
 
         def fn(variables, voc_params, texts, src_lens, accents, spk, meta, controls):
             # (B, 3) per-request controls broadcast as (B, 1) against the
@@ -183,6 +189,7 @@ class ServingEngine:
         speaker_meta: Optional[np.ndarray] = None,
         speaker_emb: Optional[np.ndarray] = None,
         controls: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+        mel_only: bool = False,
     ):
         L = texts.shape[1]
         voc_params = self.vocoder.params if self.vocoder is not None else {}
@@ -194,6 +201,20 @@ class ServingEngine:
             fn = self._emb_fns[L]
             spk = jnp.asarray(speaker_emb, jnp.float32)
             meta = jnp.zeros((texts.shape[0], self.meta_dim), jnp.float32)
+        elif mel_only:
+            if L not in self._mel_fns:
+                self._mel_fns[L] = self._build(L, self.mel_caps[L],
+                                               mel_only=True)
+            fn = self._mel_fns[L]
+            spk = np.asarray(speaker_id, np.int32)
+            if spk.ndim == 0:
+                spk = np.full((texts.shape[0],), spk, np.int32)
+            spk = jnp.asarray(spk)
+            meta = (
+                jnp.asarray(speaker_meta, jnp.float32)
+                if speaker_meta is not None
+                else jnp.zeros((texts.shape[0], self.meta_dim), jnp.float32)
+            )
         else:
             fn = self._fns[L]
             spk = np.asarray(speaker_id, np.int32)
@@ -268,6 +289,59 @@ class ServingEngine:
             wav = (out[: mel_len * self.hop] * self.vocoder.max_wav_value)
             result["wav"] = np.clip(wav, -32768, 32767).astype(np.int16)
         return result
+
+    # ------------------------------------------------------------------
+    def synthesize_streaming(
+        self,
+        ids: Sequence[int],
+        accent_ids: Optional[Sequence[int]] = None,
+        speaker_id: int = 0,
+        speaker_meta: Optional[np.ndarray] = None,
+        pitch_control: float = 1.0,
+        energy_control: float = 1.0,
+        duration_control: float = 1.0,
+        chunk_frames: int = 192,
+        context_frames: int = 24,
+    ):
+        """Generator of int16 PCM chunks: the acoustic model runs once
+        (mel-only jit, compiled lazily per bucket), then the vocoder streams
+        receptive-field-exact windows (infer.vocoder.vocode_streaming) — the
+        first audio arrives after ONE vocoder window instead of the full
+        utterance's vocode, and memory stays bounded for long syntheses.
+        The concatenated chunks equal vocoding the trimmed mel in one shot
+        (the reference pipeline's semantics, utils/model.py:74-92)."""
+        from ..text import NO_ACCENT_ID
+
+        from .vocoder import vocode_streaming
+
+        if self.vocoder is None:
+            raise ValueError("streaming synthesis requires a vocoder")
+        n = len(ids)
+        if n == 0:
+            raise ValueError("empty phone sequence")
+        L = pick_bucket(n, self.text_buckets)
+        texts = np.zeros((1, L), np.int32)
+        texts[0, :n] = np.asarray(ids, np.int32)
+        acc = np.zeros((1, L), np.int32)
+        if accent_ids is not None:
+            m = min(len(accent_ids), n)
+            acc[0, :m] = np.asarray(accent_ids[:m], np.int32)
+            acc[0, m:n] = NO_ACCENT_ID
+        else:
+            acc[0, :n] = NO_ACCENT_ID
+        src_lens = np.asarray([n], np.int32)
+
+        with self._lock:
+            mel, mel_len = self._run(
+                texts, src_lens, acc, speaker_id, speaker_meta, None,
+                (pitch_control, energy_control, duration_control),
+                mel_only=True,
+            )
+            mel_len = int(np.asarray(mel_len)[0])
+            mel = np.asarray(mel[0, :mel_len], np.float32)
+            self.n_requests += 1
+        yield from vocode_streaming(
+            self.vocoder, jnp.asarray(mel[None]), chunk_frames, context_frames)
 
     # ------------------------------------------------------------------
     def synthesize_many(self, requests: List[dict],

@@ -319,3 +319,69 @@ def test_synthesize_many_own_bucket_cap(engine):
     long_req = {"ids": list(range(5, 30))}  # forces the L=32 bucket
     batched = engine.synthesize_many([sat, long_req])
     assert batched[0]["mel_len"] == single["mel_len"]
+
+
+def test_engine_streaming_matches_one_shot(engine):
+    """synthesize_streaming: concatenated PCM equals vocoding the trimmed
+    mel in one shot (the reference pipeline's semantics), within 1 int16
+    LSB of chunked-conv reassociation."""
+    from masg_tpu.infer.vocoder import vocoder_infer
+
+    ids = list(range(5, 14))
+    chunks = list(engine.synthesize_streaming(ids, chunk_frames=24,
+                                              context_frames=8))
+    stream = np.concatenate(chunks)
+    assert len(chunks) >= 2  # actually streamed
+
+    # reference target: run the mel-only path, vocode the TRIMMED mel
+    # (accents: the engine fills NO_ACCENT_ID for unspecified — rebuild)
+    from masg_tpu.text import NO_ACCENT_ID
+
+    acc = np.zeros((1, 16), np.int32)
+    acc[0, : len(ids)] = NO_ACCENT_ID
+    texts = np.zeros((1, 16), np.int32)
+    texts[0, : len(ids)] = ids
+    mel, mel_len = engine._run(texts, np.asarray([len(ids)], np.int32), acc,
+                               mel_only=True)
+    mel_len = int(np.asarray(mel_len)[0])
+    full = vocoder_infer(jnp.asarray(np.asarray(mel)[:, :mel_len]),
+                         engine.vocoder)[0]
+    assert stream.shape == full.shape
+    diff = np.abs(stream.astype(np.int32) - full.astype(np.int32))
+    assert diff.max() <= 1
+
+
+def test_http_streaming_endpoint(server, engine):
+    """/synthesize_streaming returns chunked audio/wav whose PCM equals the
+    engine's streaming output."""
+    payload = {"phones": "{a b c d e f g h i}"}
+    req = urllib.request.Request(
+        server + "/synthesize_streaming", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "audio/wav"
+        body = resp.read()  # urllib reassembles the chunked transfer
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    pcm = np.frombuffer(body[44:], np.int16)
+    assert pcm.size > 0
+
+    ids, _ = __import__("masg_tpu.cli.serve", fromlist=["request_to_ids"]
+                        ).request_to_ids(payload)
+    direct = np.concatenate(list(engine.synthesize_streaming(ids)))
+    assert np.array_equal(pcm, direct)
+
+
+def test_http_streaming_bad_input(server):
+    req = urllib.request.Request(
+        server + "/synthesize_streaming",
+        data=json.dumps({"phones": "{}"}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        resp = urllib.request.urlopen(req, timeout=60)
+        code = resp.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
