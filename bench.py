@@ -211,6 +211,34 @@ def bench_attention(T=1000, B=8, H=2, Dh=128, iters=30):
     return t_xla, t_flash
 
 
+def bench_streaming_latency(voc, voc_vars, T_mel=640, chunk=192, ctx=24, n=5):
+    """First-audio latency: one receptive-field-exact vocoder window
+    (infer.vocoder.vocode_streaming) vs vocoding the full utterance.
+    Host-fetch included on both sides (the chunks ARE host arrays)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from masg_tpu.infer.vocoder import Vocoder, vocode_streaming
+
+    v = Vocoder(voc, voc_vars["params"])
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(1, T_mel, 80)).astype(np.float32))
+    # warm every window shape + the full-length vocode (fetched)
+    _ = [c.sum() for c in vocode_streaming(v, mel, chunk, ctx)]
+    _ = np.asarray(v(mel)).ravel()[:1]
+
+    first = full = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        next(vocode_streaming(v, mel, chunk, ctx))  # yields a host array
+        first = min(first, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = np.asarray(v(mel)).ravel()[:1]
+        full = min(full, time.perf_counter() - t0)
+    return first * 1e3, full * 1e3
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -247,6 +275,14 @@ def main():
     attn_xla_ms, attn_flash_ms = bench_attention(T=1000)
     attn_xla_4k, attn_flash_4k = bench_attention(T=4000, iters=20)
 
+    stream_first_ms = vocode_full_ms = None
+    try:
+        stream_first_ms, vocode_full_ms = bench_streaming_latency(voc, voc_vars)
+    except Exception as e:  # fail soft: never take the headline metric down
+        import sys as _sys
+
+        print(f"# streaming latency bench skipped: {e}", file=_sys.stderr)
+
     # v5e peak: 197 TFLOP/s bf16 (public spec); MFU = achieved/peak
     V5E_PEAK_BF16 = 197e12
     mfu = tflops = intensity = None
@@ -278,6 +314,10 @@ def main():
             "attn_xla_ms_T4000": round(attn_xla_4k, 3),
             "attn_flash_ms_T4000": round(attn_flash_4k, 3),
             "attn_winner_T4000": "flash" if attn_flash_4k < attn_xla_4k else "xla",
+            "stream_first_audio_ms": round(stream_first_ms, 2)
+            if stream_first_ms else None,
+            "vocode_full_640f_ms": round(vocode_full_ms, 2)
+            if vocode_full_ms else None,
         },
     }))
 
