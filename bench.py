@@ -315,9 +315,9 @@ def main():
             "attn_flash_ms_T4000": round(attn_flash_4k, 3),
             "attn_winner_T4000": "flash" if attn_flash_4k < attn_xla_4k else "xla",
             "stream_first_audio_ms": round(stream_first_ms, 2)
-            if stream_first_ms else None,
+            if stream_first_ms is not None else None,
             "vocode_full_640f_ms": round(vocode_full_ms, 2)
-            if vocode_full_ms else None,
+            if vocode_full_ms is not None else None,
         },
     }))
 

@@ -37,6 +37,10 @@ def main(argv=None):
                              "from the orbax checkpoint at --step instead")
     parser.add_argument("--skip_optimizer", action="store_true",
                         help="convert weights only (no Adam moments)")
+    parser.add_argument("--ganlike", action="store_true",
+                        help="the checkpoint is from the adversarial "
+                             "(ganlike) trainer: nested {model,discriminator}"
+                             " params + joint optimizer")
     args = parser.parse_args(argv)
     if (args.torch_ckpt is None) == (args.to_torch is None):
         parser.error("exactly one of --torch_ckpt / --to_torch is required")
@@ -60,18 +64,50 @@ def main(argv=None):
         import numpy as np
         import torch
 
-        from ..compat.torch_fs2 import export_torch_checkpoint
+        from ..compat.torch_fs2 import (export_torch_checkpoint,
+                                        export_torch_ganlike_checkpoint)
         from ..infer.synthesis import load_model
 
         model, variables = load_model(cfg, restore_step=0)
-        tx = make_optimizer(cfg.train.optimizer,
-                            cfg.model.transformer.encoder_hidden)
+        if args.ganlike:
+            # mirror build_experiment's nested ganlike state (train/loop.py)
+            from ..models.speaker_encoder import SpeechEmbedder
+
+            disc = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels)
+            disc_params = disc.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((2, 150, cfg.preprocess.mel.n_mel_channels)),
+            )["params"]
+            variables = {
+                "params": {"model": variables["params"],
+                           "discriminator": disc_params},
+                "batch_stats": variables.get("batch_stats", {}),
+            }
+            tx = make_optimizer(cfg.train.optimizer,
+                                cfg.model.transformer.encoder_hidden,
+                                clip_subtree="model",
+                                torch_lstm_bias_compat=True)
+        else:
+            tx = make_optimizer(cfg.train.optimizer,
+                                cfg.model.transformer.encoder_hidden)
         state = create_train_state(model, variables, tx)
         mgr = CheckpointManager(args.out or cfg.train.path.ckpt_path)
-        state = mgr.restore(args.step, state)
-        ckpt = export_torch_checkpoint(
-            state.params, state.batch_stats, cfg,
-            opt_state=None if args.skip_optimizer else state.opt_state)
+        try:
+            state = mgr.restore(args.step, state)
+        except Exception as e:
+            raise SystemExit(
+                f"checkpoint restore failed: {e}\n(If this checkpoint came "
+                f"from the ganlike trainer, pass --ganlike; plain and "
+                f"ganlike checkpoints have different state structures.)")
+        if args.ganlike:
+            ckpt = export_torch_ganlike_checkpoint(
+                state.params, state.batch_stats, cfg,
+                opt_state=None if args.skip_optimizer else state.opt_state,
+                disc_n_layers=disc.n_layers)
+        else:
+            ckpt = export_torch_checkpoint(
+                state.params, state.batch_stats, cfg,
+                opt_state=None if args.skip_optimizer else state.opt_state)
         import os as _os
 
         out_dir = _os.path.dirname(args.to_torch)
@@ -79,6 +115,10 @@ def main(argv=None):
             _os.makedirs(out_dir, exist_ok=True)
         payload = {"model": {n: torch.as_tensor(np.ascontiguousarray(a))
                              for n, a in ckpt["model"].items()}}
+        if "discriminator" in ckpt:
+            payload["discriminator"] = {
+                n: torch.as_tensor(np.ascontiguousarray(a))
+                for n, a in ckpt["discriminator"].items()}
         if "optimizer" in ckpt:
             payload["optimizer"] = ckpt["optimizer"]
         torch.save(payload, args.to_torch)
@@ -89,6 +129,7 @@ def main(argv=None):
     import torch
 
     from ..compat.torch_fs2 import (convert_torch_fastspeech2,
+                                    import_torch_ganlike_optimizer,
                                     import_torch_optimizer,
                                     reference_param_order)
 
@@ -103,6 +144,38 @@ def main(argv=None):
         decoder_layers=cfg.model.transformer.decoder_layer,
         multi_speaker=cfg.model.multi_speaker,
     )
+
+    if args.ganlike:
+        # reference train_ganlike.py checkpoints: both halves' weights plus
+        # the joint ScheduledOptim state (:247-257)
+        from ..infer.synthesis import load_model
+        from ..models.speaker_encoder import SpeechEmbedder
+        from ..train.loop import convert_torch_ge2e
+
+        if "discriminator" not in raw:
+            raise SystemExit("--ganlike given but the checkpoint has no "
+                             "'discriminator' entry")
+        disc = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels)
+        disc_sd = {k: v.numpy() if hasattr(v, "numpy") else v
+                   for k, v in raw["discriminator"].items()}
+        disc_params = convert_torch_ge2e(disc_sd, disc)
+        model, variables = load_model(cfg, restore_step=0)
+        tx = make_optimizer(cfg.train.optimizer,
+                            cfg.model.transformer.encoder_hidden,
+                            clip_subtree="model", torch_lstm_bias_compat=True)
+        state = create_train_state(model, {
+            "params": {"model": params, "discriminator": disc_params},
+            "batch_stats": batch_stats,
+        }, tx)
+        if not args.skip_optimizer and "optimizer" in raw:
+            state = state.replace(opt_state=import_torch_ganlike_optimizer(
+                state.opt_state, raw["optimizer"], cfg, disc))
+        state = state.replace(params=jax.tree.map(jnp.asarray, state.params))
+        mgr = CheckpointManager(args.out or cfg.train.path.ckpt_path)
+        mgr.save(args.step, state)
+        print(f"converted ganlike {args.torch_ckpt} -> {mgr.ckpt_dir} "
+              f"@ step {args.step}")
+        return
 
     # build a fresh state via load_model (handles the jdit/frame-level init
     # branches), then graft the converted weights with a structure check

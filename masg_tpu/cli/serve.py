@@ -154,14 +154,33 @@ class SynthesisHandler(BaseHTTPRequestHandler):
                 req = json.loads(self.rfile.read(n) or b"{}")
                 ids, accent_ids = request_to_ids(req, self.lexicon_path,
                                                  self.config_dir)
-                gen = self.engine.synthesize_streaming(
-                    ids,
+                emb = req.get("speaker_emb")
+                kwargs = dict(
                     accent_ids=accent_ids,
                     speaker_id=int(req.get("speaker_id", 0)),
                     pitch_control=float(req.get("pitch_control", 1.0)),
                     energy_control=float(req.get("energy_control", 1.0)),
                     duration_control=float(req.get("duration_control", 1.0)),
                 )
+                if emb is None and len(ids) > self.engine.text_buckets[-1]:
+                    # over-bucket texts: synthesize via pause-chunking (same
+                    # fallback as /synthesize) and stream the stitched wav
+                    # in fixed PCM slices — first-audio latency is NOT
+                    # improved here, but the endpoint stays consistent and
+                    # the response memory stays bounded
+                    result = self.engine.synthesize_chunked(ids, **kwargs)
+                    wav = result["wav"]
+                    step = 192 * self.engine.hop
+
+                    def gen_slices(w=wav, step=step):
+                        for i in range(0, len(w), step):
+                            yield w[i : i + step]
+
+                    gen = gen_slices()
+                else:
+                    if emb is not None:
+                        kwargs["speaker_emb"] = np.asarray([emb], np.float32)
+                    gen = self.engine.synthesize_streaming(ids, **kwargs)
                 first = next(gen)  # synthesis errors surface as JSON, not
                                    # as a broken audio stream
             except (ValueError, StopIteration) as e:

@@ -248,14 +248,12 @@ def _lstm_cell_out(out, prefix, cell, sfx="", halve_bias=True):
     any checkpoint trained here, where only the sum is ever defined.
     halve_bias=False for Adam MOMENTS: each torch bias carries the folded
     parameter's moment verbatim."""
-    h = np.asarray(cell["hi"]["kernel"]).shape[0]
     wi = np.concatenate([np.asarray(cell[f"i{g}"]["kernel"]).T
                          for g in ("i", "f", "g", "o")], axis=0)
     wh = np.concatenate([np.asarray(cell[f"h{g}"]["kernel"]).T
                          for g in ("i", "f", "g", "o")], axis=0)
     b = np.concatenate([np.asarray(cell[f"h{g}"]["bias"])
                         for g in ("i", "f", "g", "o")], axis=0)
-    del h
     if halve_bias:
         b = b / 2.0
     out[f"{prefix}.weight_ih{sfx}"] = wi

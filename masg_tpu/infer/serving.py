@@ -108,8 +108,9 @@ class ServingEngine:
             for L in self.text_buckets
         }
         # mel-only variants for the streaming path, built lazily (most
-        # deployments never stream; don't double the warmup compile bill)
-        self._mel_fns: Dict[int, object] = {}
+        # deployments never stream; don't double the warmup compile bill);
+        # keyed (L, from_emb)
+        self._mel_fns: Dict[Tuple[int, bool], object] = {}
         self._lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0  # batched dispatches via synthesize_many
@@ -197,26 +198,19 @@ class ServingEngine:
         if c.ndim == 1:  # shared controls -> one row per batch item
             c = np.tile(c, (texts.shape[0], 1))
         c = jnp.asarray(c)
-        if speaker_emb is not None:
-            fn = self._emb_fns[L]
+        from_emb = speaker_emb is not None
+        if mel_only:
+            key = (L, from_emb)
+            if key not in self._mel_fns:
+                self._mel_fns[key] = self._build(
+                    L, self.mel_caps[L], from_emb=from_emb, mel_only=True)
+            fn = self._mel_fns[key]
+        else:
+            fn = self._emb_fns[L] if from_emb else self._fns[L]
+        if from_emb:
             spk = jnp.asarray(speaker_emb, jnp.float32)
             meta = jnp.zeros((texts.shape[0], self.meta_dim), jnp.float32)
-        elif mel_only:
-            if L not in self._mel_fns:
-                self._mel_fns[L] = self._build(L, self.mel_caps[L],
-                                               mel_only=True)
-            fn = self._mel_fns[L]
-            spk = np.asarray(speaker_id, np.int32)
-            if spk.ndim == 0:
-                spk = np.full((texts.shape[0],), spk, np.int32)
-            spk = jnp.asarray(spk)
-            meta = (
-                jnp.asarray(speaker_meta, jnp.float32)
-                if speaker_meta is not None
-                else jnp.zeros((texts.shape[0], self.meta_dim), jnp.float32)
-            )
         else:
-            fn = self._fns[L]
             spk = np.asarray(speaker_id, np.int32)
             if spk.ndim == 0:
                 spk = np.full((texts.shape[0],), spk, np.int32)
@@ -230,6 +224,28 @@ class ServingEngine:
             self.variables, voc_params, jnp.asarray(texts), jnp.asarray(src_lens),
             jnp.asarray(accents), spk, meta, c,
         )
+
+    # ------------------------------------------------------------------
+    def _pad_request(self, ids, accent_ids):
+        """Pad ids/accents onto the smallest fitting text bucket; unspecified
+        accent tails degrade to NO_ACCENT_ID (shared by synthesize /
+        synthesize_streaming / synthesize_many)."""
+        from ..text import NO_ACCENT_ID
+
+        n = len(ids)
+        if n == 0:
+            raise ValueError("empty phone sequence")
+        L = pick_bucket(n, self.text_buckets)
+        texts = np.zeros((1, L), np.int32)
+        texts[0, :n] = np.asarray(ids, np.int32)
+        acc = np.zeros((1, L), np.int32)
+        if accent_ids is not None:
+            m = min(len(accent_ids), n)
+            acc[0, :m] = np.asarray(accent_ids[:m], np.int32)
+            acc[0, m:n] = NO_ACCENT_ID
+        else:
+            acc[0, :n] = NO_ACCENT_ID
+        return texts, np.asarray([n], np.int32), acc, L
 
     # ------------------------------------------------------------------
     def synthesize(
@@ -248,23 +264,15 @@ class ServingEngine:
         Returns {"wav" or "mel", "mel_len", "sample_rate", "latency_s",
         "bucket"}. Pads onto the smallest fitting text bucket and truncates
         the output to mel_len frames (* hop samples).
-        """
-        from ..text import NO_ACCENT_ID
 
-        n = len(ids)
-        if n == 0:
-            raise ValueError("empty phone sequence")
-        L = pick_bucket(n, self.text_buckets)
-        texts = np.zeros((1, L), np.int32)
-        texts[0, :n] = np.asarray(ids, np.int32)
-        acc = np.zeros((1, L), np.int32)
-        if accent_ids is not None:
-            m = min(len(accent_ids), n)
-            acc[0, :m] = np.asarray(accent_ids[:m], np.int32)
-            acc[0, m:n] = NO_ACCENT_ID  # short accents degrade to no-accent
-        else:
-            acc[0, :n] = NO_ACCENT_ID
-        src_lens = np.asarray([n], np.int32)
+        Tail semantics: the fused fixed-shape graph vocodes the FULL padded
+        mel and trims the wav, so the last ~receptive-field (~15 frames *
+        hop) samples reflect the free-running frames past mel_len;
+        synthesize_streaming instead vocodes the mel trimmed to mel_len
+        (the reference pipeline's semantics, utils/model.py:74-92) — the
+        two can differ inaudibly in that trailing window.
+        """
+        texts, src_lens, acc, L = self._pad_request(ids, accent_ids)
 
         t0 = time.perf_counter()
         with self._lock:
@@ -297,11 +305,12 @@ class ServingEngine:
         accent_ids: Optional[Sequence[int]] = None,
         speaker_id: int = 0,
         speaker_meta: Optional[np.ndarray] = None,
+        speaker_emb: Optional[np.ndarray] = None,
         pitch_control: float = 1.0,
         energy_control: float = 1.0,
         duration_control: float = 1.0,
         chunk_frames: int = 192,
-        context_frames: int = 24,
+        context_frames: Optional[int] = None,
     ):
         """Generator of int16 PCM chunks: the acoustic model runs once
         (mel-only jit, compiled lazily per bucket), then the vocoder streams
@@ -309,31 +318,17 @@ class ServingEngine:
         first audio arrives after ONE vocoder window instead of the full
         utterance's vocode, and memory stays bounded for long syntheses.
         The concatenated chunks equal vocoding the trimmed mel in one shot
-        (the reference pipeline's semantics, utils/model.py:74-92)."""
-        from ..text import NO_ACCENT_ID
-
+        (the reference pipeline's semantics, utils/model.py:74-92; see the
+        tail-semantics note on synthesize())."""
         from .vocoder import vocode_streaming
 
         if self.vocoder is None:
             raise ValueError("streaming synthesis requires a vocoder")
-        n = len(ids)
-        if n == 0:
-            raise ValueError("empty phone sequence")
-        L = pick_bucket(n, self.text_buckets)
-        texts = np.zeros((1, L), np.int32)
-        texts[0, :n] = np.asarray(ids, np.int32)
-        acc = np.zeros((1, L), np.int32)
-        if accent_ids is not None:
-            m = min(len(accent_ids), n)
-            acc[0, :m] = np.asarray(accent_ids[:m], np.int32)
-            acc[0, m:n] = NO_ACCENT_ID
-        else:
-            acc[0, :n] = NO_ACCENT_ID
-        src_lens = np.asarray([n], np.int32)
+        texts, src_lens, acc, L = self._pad_request(ids, accent_ids)
 
         with self._lock:
             mel, mel_len = self._run(
-                texts, src_lens, acc, speaker_id, speaker_meta, None,
+                texts, src_lens, acc, speaker_id, speaker_meta, speaker_emb,
                 (pitch_control, energy_control, duration_control),
                 mel_only=True,
             )

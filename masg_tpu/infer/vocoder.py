@@ -148,53 +148,109 @@ def vocoder_infer(
     return out
 
 
+def measure_receptive_field_frames(vocoder: Vocoder, probe_frames: int = 257) -> int:
+    """Mel-frame receptive-field radius of the loaded generator, measured
+    empirically (impulse response support), so streaming context adapts to
+    ANY convolutional vocoder (custom HiFi-GAN configs, MelGAN) instead of
+    assuming the stock v1 architecture (~15 frames). Cached per Vocoder."""
+    cached = getattr(vocoder, "_rf_frames", None)
+    if cached is not None:
+        return cached
+    h = vocoder.hop_length
+    center = probe_frames // 2
+    n_mels = 80
+    base = np.zeros((1, probe_frames, n_mels), np.float32)
+    probe = base.copy()
+    probe[0, center, :] = 1.0
+    d = np.abs(np.asarray(vocoder(jnp.asarray(probe))[0], np.float32)
+               - np.asarray(vocoder(jnp.asarray(base))[0], np.float32))
+    nz = np.nonzero(d > 1e-12)[0]
+    if nz.size == 0:
+        rf = 1  # degenerate (e.g. zero weights)
+    else:
+        lo, hi = int(nz[0]), int(nz[-1])
+        if lo == 0 or hi == d.size - 1:
+            raise ValueError(
+                f"vocoder receptive field exceeds the {probe_frames}-frame "
+                "probe — pass context_frames explicitly")
+        rf = max((center * h - lo + h - 1) // h,
+                 (hi - center * h) // h + 1)
+    vocoder._rf_frames = int(rf)
+    return vocoder._rf_frames
+
+
 def vocode_streaming(
     vocoder: Vocoder,
     mel: jnp.ndarray,
     chunk_frames: int = 192,
-    context_frames: int = 24,
+    context_frames: Optional[int] = None,
 ):
     """Stream the vocoder: yield int16 wav chunks whose concatenation equals
     `vocoder_infer` on the full mel.
 
-    HiFi-GAN is fully convolutional, so an interior output sample depends
-    only on mel frames within the generator's receptive field — ~15 frames
-    per side for the stock v1 architecture (conv_pre 7 + MRF k=11/d=5 stacks
-    folded back through the 8-8-2-2 upsampling); `context_frames=24` leaves
-    margin (tests/test_vocoder_streaming.py asserts exact equality against
-    the full run). Boundary chunks keep the true utterance edge inside the
-    window so the generator's own zero padding applies exactly as in the
-    full run.
+    The generators are fully convolutional, so an interior output sample
+    depends only on mel frames within the receptive field (~15 per side for
+    stock HiFi-GAN v1); `context_frames` defaults to the MEASURED field of
+    the loaded generator + margin (measure_receptive_field_frames), and
+    tests/test_vocoder_streaming.py asserts exact equality against the full
+    run. Boundary chunks keep the true utterance edge inside the window so
+    the generator's own edge padding (zero or reflection) applies exactly
+    as in the full run.
 
     Why stream: first-audio latency becomes the vocode time of
     `chunk_frames + 2*context_frames` frames instead of the whole utterance,
-    memory stays bounded for unbounded-length synthesis, and only TWO shapes
-    ever compile (first/last vs interior windows) regardless of input length.
+    memory stays bounded for unbounded-length synthesis, and only two window
+    shapes compile regardless of input length (short inputs < one chunk
+    reuse the interior shape via edge-aligned padded windows; only inputs
+    under 2*context — <0.6 s of audio — vocode at their own length).
 
     mel: (1, T, n_mels) log-mel. Yields np.int16 arrays.
     """
     if mel.ndim != 3 or mel.shape[0] != 1:
         raise ValueError("vocode_streaming expects a single utterance (1, T, n_mels)")
+    if context_frames is None:
+        context_frames = measure_receptive_field_frames(vocoder) + 2
+    if chunk_frames < 1 or context_frames < 0:
+        raise ValueError(
+            f"chunk_frames must be >= 1 and context_frames >= 0 "
+            f"(got {chunk_frames}, {context_frames})")
     t = mel.shape[1]
     k, c = chunk_frames, context_frames
     h = vocoder.hop_length
+    s = k + 2 * c  # the interior window shape
 
     def to_int16(w):
         return np.clip(np.asarray(w) * vocoder.max_wav_value,
                        -32768, 32767).astype("int16")
 
-    if t <= k + 2 * c:
-        yield to_int16(vocoder(mel)[0])
+    mel = np.asarray(mel, np.float32)
+
+    if t <= 2 * c:
+        # too short to split exactly; vocode at own length (tiny compile)
+        yield to_int16(vocoder(jnp.asarray(mel))[0])
+        return
+
+    if t <= s:
+        # one-chunk inputs still reuse the fixed interior shape: two
+        # edge-aligned zero-padded windows whose kept regions stay >= c
+        # frames away from the artificial (zero-mel) side, so each true
+        # edge sees the generator's own padding exactly as the full run
+        left = np.pad(mel, ((0, 0), (0, s - t), (0, 0)))
+        wav = vocoder(jnp.asarray(left))[0]
+        yield to_int16(wav[: (t - c) * h])
+        right = np.pad(mel, ((0, 0), (s - t, 0), (0, 0)))
+        wav = vocoder(jnp.asarray(right))[0]
+        yield to_int16(wav[(s - c) * h :])
         return
 
     # first chunk: true left boundary, C right context (shape K+C)
-    wav = vocoder(mel[:, : k + c])[0]
+    wav = vocoder(jnp.asarray(mel[:, : k + c]))[0]
     yield to_int16(wav[: k * h])
 
     pos = k
     # interior chunks: C real frames of context each side (shape K+2C)
     while pos + k + c <= t:
-        wav = vocoder(mel[:, pos - c : pos + k + c])[0]
+        wav = vocoder(jnp.asarray(mel[:, pos - c : pos + k + c]))[0]
         yield to_int16(wav[c * h : (c + k) * h])
         pos += k
 
@@ -202,5 +258,5 @@ def vocode_streaming(
     if remaining > 0:
         # final chunk right-aligned at the true end (same K+2C shape as the
         # interior): keeps >= C left context since remaining <= K+C
-        wav = vocoder(mel[:, t - (k + 2 * c) :])[0]
-        yield to_int16(wav[(k + 2 * c - remaining) * h :])
+        wav = vocoder(jnp.asarray(mel[:, t - s :]))[0]
+        yield to_int16(wav[(s - remaining) * h :])

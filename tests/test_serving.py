@@ -385,3 +385,52 @@ def test_http_streaming_bad_input(server):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 400
+
+
+def test_engine_streaming_speaker_emb(engine):
+    """Streaming honors speaker embeddings: the mel-only emb bucket fn is
+    selected and the embedding changes the acoustic output. (Audio-level
+    comparison is vacuous here: the fixture's random tiny vocoder emits
+    near-constant audio for ANY mel, so assert on the mels.)"""
+    emb_dim = engine.cfg.model.transformer.encoder_hidden
+    emb = np.full((1, emb_dim), 0.1, np.float32)
+    ids = list(range(5, 14))
+    texts, sl, acc, L = engine._pad_request(ids, None)
+    mel_plain, _ = engine._run(texts, sl, acc, mel_only=True)
+    mel_emb, _ = engine._run(texts, sl, acc, speaker_emb=emb, mel_only=True)
+    assert float(np.abs(np.asarray(mel_plain) - np.asarray(mel_emb)).max()) > 1e-3
+    assert (L, True) in engine._mel_fns  # the emb-variant bucket compiled
+
+    wav = np.concatenate(list(engine.synthesize_streaming(
+        ids, speaker_emb=emb, chunk_frames=24, context_frames=8)))
+    assert wav.size > 0 and wav.dtype == np.int16
+
+
+def test_http_streaming_long_text(server):
+    """Texts beyond the largest bucket stream via the pause-chunked
+    synthesis fallback instead of 400ing."""
+    phones = " ".join(["a b c d e f g sp"] * 5)  # 40 phones > bucket 32
+    req = urllib.request.Request(
+        server + "/synthesize_streaming",
+        data=json.dumps({"phones": "{" + phones + "}"}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert resp.status == 200
+        body = resp.read()
+    assert body[:4] == b"RIFF"
+    assert np.frombuffer(body[44:], np.int16).size > 0
+
+
+def test_http_streaming_speaker_emb(server, engine):
+    emb_dim = engine.cfg.model.transformer.encoder_hidden
+    req = urllib.request.Request(
+        server + "/synthesize_streaming",
+        data=json.dumps({"phones": "{a b c d e}",
+                         "speaker_emb": [0.1] * emb_dim}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        assert resp.status == 200
+        body = resp.read()
+    assert np.frombuffer(body[44:], np.int16).size > 0

@@ -155,3 +155,70 @@ def test_cli_checkpoint_round_trip(tmp_path):
     assert int(back.opt_state[ai].count) == 10
     if si is not None:
         assert int(back.opt_state[si].count) == 10
+
+
+def test_cli_ganlike_checkpoint_round_trip(tmp_path):
+    """--ganlike conversion both ways: train the adversarial variant, export
+    the {"model","discriminator","optimizer"} .pth.tar, import it back, and
+    check both halves' weights plus the joint Adam moments survive."""
+    import os
+    import shutil
+
+    import jax
+    from fixtures import make_config_dir, make_synthetic_corpus
+
+    tmp = str(tmp_path)
+    raw, pre, _ = make_synthetic_corpus(tmp, n_speakers=2, utts_per_speaker=6)
+    cfg_dir = make_config_dir(tmp, pre, tmp)
+
+    from masg_tpu.cli.preprocess import main as preprocess_main
+
+    preprocess_main(["--config", cfg_dir])
+    shutil.copy(os.path.join(pre, "stats.json"), os.path.join(cfg_dir, "stats.json"))
+    shutil.copy(os.path.join(pre, "speakers.json"), os.path.join(cfg_dir, "speakers.json"))
+
+    from masg_tpu.cli.train_ganlike import main as gan_main
+
+    gan_main(["-c", cfg_dir, "--max_steps", "10"])
+
+    from masg_tpu.cli.convert_checkpoint import main as convert_main
+
+    pth = os.path.join(tmp, "export", "10.pth.tar")
+    convert_main(["-c", cfg_dir, "--step", "10", "--to_torch", pth,
+                  "--ganlike"])
+    ckpt = torch.load(pth, map_location="cpu", weights_only=True)
+    assert set(ckpt) == {"model", "discriminator", "optimizer"}
+
+    back_dir = os.path.join(tmp, "back")
+    convert_main(["-c", cfg_dir, "--step", "10", "--torch_ckpt", pth,
+                  "--out", back_dir, "--ganlike"])
+
+    from masg_tpu.compat.torch_fs2 import _find_adam_state
+    from masg_tpu.core.checkpoint import CheckpointManager
+    from masg_tpu.core.config import load_config_dir
+    from masg_tpu.infer.synthesis import load_model
+    from masg_tpu.models.speaker_encoder import SpeechEmbedder
+    from masg_tpu.train.optim import make_optimizer
+    from masg_tpu.train.state import create_train_state
+
+    cfg = load_config_dir(cfg_dir)
+    model, variables = load_model(cfg, restore_step=0)
+    disc = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels)
+    disc_params = disc.init(jax.random.PRNGKey(0),
+                            np.zeros((2, 150, 80), np.float32))["params"]
+    tx = make_optimizer(cfg.train.optimizer,
+                        cfg.model.transformer.encoder_hidden,
+                        clip_subtree="model", torch_lstm_bias_compat=True)
+    template = create_train_state(model, {
+        "params": {"model": variables["params"], "discriminator": disc_params},
+        "batch_stats": variables.get("batch_stats", {}),
+    }, tx)
+    orig = CheckpointManager(cfg.train.path.ckpt_path).restore(10, template)
+    back = CheckpointManager(back_dir).restore(10, template)
+
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 orig.params, back.params)
+    ai, _ = _find_adam_state(orig.opt_state)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 orig.opt_state[ai].mu, back.opt_state[ai].mu)
+    assert int(back.opt_state[ai].count) == 10
