@@ -388,3 +388,108 @@ def test_jdit_forward_parity(ref_fastspeech2, monkeypatch):
                                rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(align_j), align_t.numpy(),
                                rtol=1e-8, atol=1e-9)
+
+
+def test_forward_parity_frame_level(ref_fastspeech2, tmp_path_factory):
+    del ref_fastspeech2  # fixture primes the refmodel package import
+    """The reference's frame_level pitch/energy mode (preprocess.yaml
+    'feature' — variance embeddings applied AFTER length regulation on
+    per-FRAME targets, reference model/modules.py:96-120): teacher-forced
+    forward must match with converted weights. All shipped configs use
+    phoneme_level, so this closes the other documented mode."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from masg_tpu.compat.torch_fs2 import convert_torch_fastspeech2
+    from masg_tpu.models import FastSpeech2
+
+    fs2_mod = importlib.import_module("refmodel.fastspeech2")
+    tmp = str(tmp_path_factory.mktemp("framecfg"))
+    with open(os.path.join(tmp, "speakers.json"), "w") as f:
+        json.dump({f"s{i}": [i, "M", "ja"] for i in range(4)}, f)
+    with open(os.path.join(tmp, "stats.json"), "w") as f:
+        json.dump({"pitch": [-2, 9, 0, 1], "energy": [-1.5, 8, 0, 1]}, f)
+    pre = {
+        "mel": {"n_mel_channels": 80},
+        "pitch": {"feature": "frame_level"},
+        "energy": {"feature": "frame_level"},
+        "speaker_generation": {"metadata": {"gender": {"M": 0, "F": 1},
+                                            "language": {"ja": 0, "en": 1}}},
+    }
+    mdl = {
+        "transformer": {"encoder_layer": 2, "encoder_head": 2,
+                        "encoder_hidden": 64, "decoder_layer": 2,
+                        "decoder_head": 2, "decoder_hidden": 64,
+                        "conv_filter_size": 128, "conv_kernel_size": [9, 1],
+                        "encoder_dropout": 0.2, "decoder_dropout": 0.2},
+        "variance_predictor": {"filter_size": 64, "kernel_size": 3,
+                               "dropout": 0.5},
+        "variance_embedding": {"pitch_quantization": "linear",
+                               "energy_quantization": "linear", "n_bins": 256},
+        "jdit": {"use_jdit": False},
+        "multi_speaker": True,
+        "max_seq_len": 1000,
+        "speaker_generation": {"GMM_mixtures": 3},
+    }
+    torch.manual_seed(0)
+    ref = fs2_mod.FastSpeech2(pre, mdl, tmp)
+    ref.eval()
+
+    rng = np.random.default_rng(1)
+    B, L = 2, 9
+    texts = rng.integers(1, 100, size=(B, L)).astype(np.int64)
+    src_lens = np.array([L, L - 2])
+    texts[1, L - 2:] = 0
+    accents = rng.integers(0, 5, size=(B, L)).astype(np.int64)
+    durations = rng.integers(1, 4, size=(B, L)).astype(np.int64)
+    durations[1, L - 2:] = 0
+    mel_lens = durations.sum(1)
+    T = int(mel_lens.max())
+    mels = rng.normal(size=(B, T, 80)).astype(np.float32)
+    # frame_level: targets are per mel FRAME, not per phoneme
+    pitches = rng.normal(size=(B, T)).astype(np.float32)
+    energies = rng.normal(size=(B, T)).astype(np.float32)
+    speakers = np.array([0, 2])
+    meta = np.zeros((B, 4), np.float32)
+    meta[:, 0] = 1.0
+    meta[:, 2] = 1.0
+
+    with torch.no_grad():
+        r = ref(
+            torch.from_numpy(speakers), torch.from_numpy(texts),
+            torch.from_numpy(src_lens), L,
+            torch.from_numpy(mels), torch.from_numpy(mel_lens), T,
+            torch.from_numpy(pitches), torch.from_numpy(energies),
+            torch.from_numpy(durations),
+            accents=torch.from_numpy(accents),
+            speaker_meta=torch.from_numpy(meta),
+        )
+
+    params, batch_stats = convert_torch_fastspeech2(
+        {k: v.numpy() for k, v in ref.state_dict().items()},
+        encoder_layers=2, decoder_layers=2,
+    )
+    cfg = our_config()
+    cfg.preprocess.pitch.feature = "frame_level"
+    cfg.preprocess.energy.feature = "frame_level"
+    model = FastSpeech2.from_config(cfg)
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(speakers.astype(np.int32)),
+        jnp.asarray(texts.astype(np.int32)),
+        jnp.asarray(src_lens.astype(np.int32)), T,
+        mels=jnp.asarray(mels),
+        mel_lens=jnp.asarray(mel_lens.astype(np.int32)),
+        p_targets=jnp.asarray(pitches), e_targets=jnp.asarray(energies),
+        d_targets=jnp.asarray(durations.astype(np.int32)),
+        accents=jnp.asarray(accents.astype(np.int32)),
+        speaker_meta=jnp.asarray(meta),
+    )
+    np.testing.assert_allclose(np.asarray(out.mel), r[0].numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.postnet_mel), r[1].numpy(),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.pitch_prediction), r[2].numpy(),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.energy_prediction), r[3].numpy(),
+                               atol=2e-4)
