@@ -493,3 +493,23 @@ def test_forward_parity_frame_level(ref_fastspeech2, tmp_path_factory):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(out.energy_prediction), r[3].numpy(),
                                atol=2e-4)
+
+    # loss reductions: frame-level pitch/energy masked_select over MEL masks
+    # (reference loss.py:55-62 frame branch) vs our mel_valid masked means
+    from masg_tpu.models import fastspeech2_loss
+
+    loss_mod = importlib.import_module("refmodel.loss")
+    Loss = loss_mod.FastSpeech2Loss(pre, mdl)
+    batch = (None, None, torch.from_numpy(speakers), torch.from_numpy(texts),
+             torch.from_numpy(src_lens), L, torch.from_numpy(mels),
+             torch.from_numpy(mel_lens), T, torch.from_numpy(pitches),
+             torch.from_numpy(energies), torch.from_numpy(durations))
+    with torch.no_grad():
+        t_total, t_mel, t_post, t_pitch, t_energy, t_dur = Loss(batch, r[:-2])
+    ours = fastspeech2_loss(
+        out, jnp.asarray(mels), jnp.asarray(pitches), jnp.asarray(energies),
+        jnp.asarray(durations.astype(np.int32)),
+        pitch_feature_level="frame_level", energy_feature_level="frame_level")
+    np.testing.assert_allclose(float(ours.pitch), float(t_pitch), atol=1e-4)
+    np.testing.assert_allclose(float(ours.energy), float(t_energy), atol=1e-4)
+    np.testing.assert_allclose(float(ours.total), float(t_total), atol=5e-4)
