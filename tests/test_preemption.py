@@ -27,6 +27,9 @@ def test_sigterm_saves_checkpoint_and_resumes(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    # see test_multihost.env_for: the axon bootstrap makes CPU subprocesses
+    # dial the TPU tunnel and hang when it is down
+    env.pop("PALLAS_AXON_POOL_IPS", None)
 
     build = (
         "from masg_tpu.data.synthetic import build_synthetic_experiment_dir;"
