@@ -61,13 +61,80 @@ def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int
     ) + b
 
 
+def pack_time(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(B, T, C) -> (B, T//p, p*C): p consecutive time steps become channel
+    blocks (phase-major). Exact relayout; requires T % p == 0."""
+    b, t, c = x.shape
+    return x.reshape(b, t // p, p * c)
+
+
+def unpack_time(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    b, u, pc = x.shape
+    return x.reshape(b, u * p, pc // p)
+
+
+def _toeplitz_packed_weight(w: jnp.ndarray, p: int, dilation: int):
+    """Block-Toeplitz weight for running a SAME-padded dilated conv in the
+    time-packed domain.
+
+    The vocoder's narrow-channel stages (C=32/64) fill only a quarter/half of
+    the MXU's 128 output lanes, measured at ~8%/~34% of bf16 peak on a v5e
+    (BASELINE.md stage breakdown). Packing p time steps into channels makes
+    every matmul 128-wide at the cost of kernel-overlap zeros in the packed
+    weight; measured on raw convs this wins 1.4-2.8x per conv
+    (scripts/bench_conv_packing.py).
+
+    For odd k: y[t] = sum_j w[j] @ x[t + (j-(k-1)/2)*d]. With t = p*u + s and
+    o = s + (j-(k-1)/2)*d = p*q + r, the packed weight is
+    wp[q-qmin, r*C:(r+1)*C, s*C:(s+1)*C] = w[j] — every (j, s) maps to a
+    distinct (q, r) slot, and out-of-range packed reads correspond exactly to
+    the original conv's zero padding, so the rewrite is EXACT (up to float
+    summation order).
+
+    Returns (wp, (lo, hi)) where (lo, hi) is the packed-domain padding.
+    """
+    k, cin, cout = w.shape
+    assert k % 2 == 1, "packed rewrite assumes odd kernel (SAME padding)"
+    half = (k - 1) // 2
+    offs = [(j - half) * dilation for j in range(k)]
+    qs = [(s + off) // p for s in range(p) for off in offs]
+    qmin, qmax = min(qs), max(qs)
+    kp = qmax - qmin + 1
+    wp = jnp.zeros((kp, p * cin, p * cout), w.dtype)
+    for j in range(k):
+        for s in range(p):
+            o = s + offs[j]
+            q, r = o // p, o % p
+            wp = wp.at[q - qmin, r * cin:(r + 1) * cin,
+                       s * cout:(s + 1) * cout].set(w[j])
+    return wp, (-qmin, qmax)
+
+
+def conv1d_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                  dilation: int, p: int) -> jnp.ndarray:
+    """SAME-padded dilated conv on a time-packed (B, T//p, p*C) input."""
+    wp, (lo, hi) = _toeplitz_packed_weight(w, p, dilation)
+    out = jax.lax.conv_general_dilated(
+        x, wp,
+        window_strides=(1,),
+        padding=[(lo, hi)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + jnp.tile(b, p)
+
+
 class ResBlock(nn.Module):
-    """MRF residual block (reference hifigan/models.py:20-109)."""
+    """MRF residual block (reference hifigan/models.py:20-109).
+
+    `pack > 1`: input/output are time-packed (B, T//pack, pack*C) and every
+    conv runs as a block-Toeplitz 128-lane matmul (see _toeplitz_packed_weight).
+    """
 
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
     dtype: jnp.dtype = jnp.float32
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -80,7 +147,10 @@ class ResBlock(nn.Module):
             )
             b1 = self.param(f"convs1_{i}_bias", nn.initializers.zeros,
                             (self.channels,), self.dtype)
-            xt = conv1d(xt, w1, b1, get_padding(self.kernel_size, d), d)
+            if self.pack > 1:
+                xt = conv1d_packed(xt, w1, b1, d, self.pack)
+            else:
+                xt = conv1d(xt, w1, b1, get_padding(self.kernel_size, d), d)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             w2 = self.param(
                 f"convs2_{i}_kernel",
@@ -89,7 +159,10 @@ class ResBlock(nn.Module):
             )
             b2 = self.param(f"convs2_{i}_bias", nn.initializers.zeros,
                             (self.channels,), self.dtype)
-            xt = conv1d(xt, w2, b2, get_padding(self.kernel_size, 1), 1)
+            if self.pack > 1:
+                xt = conv1d_packed(xt, w2, b2, 1, self.pack)
+            else:
+                xt = conv1d(xt, w2, b2, get_padding(self.kernel_size, 1), 1)
             x = xt + x
         return x
 
@@ -104,6 +177,11 @@ class HiFiGANGenerator(nn.Module):
     resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
     resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
     dtype: jnp.dtype = jnp.float32
+    # pack time steps into channels for sub-128-channel MRF stages so their
+    # convs fill the MXU's 128 output lanes (measured: the C=32 stage runs at
+    # ~8% of peak unpacked; the packed rewrite is exact up to float order).
+    # False restores bit-level parity with the plain conv path.
+    time_packing: bool = True
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -123,14 +201,36 @@ class HiFiGANGenerator(nn.Module):
             bu = self.param(f"ups_{i}_bias", nn.initializers.zeros, (out_ch,), self.dtype)
             x = conv_transpose1d(x, wu, bu, stride=u, padding=(k - u) // 2)
 
+            pack = 1
+            # measured on-chip: p=4 (C=32) wins 2.3x, but p=2 (C=64) LOSES
+            # slightly — the k=3/k=7 kernel-overlap inflation at p=2 isn't
+            # paid back by filling 64->128 lanes — so pack only below C=64
+            if (self.time_packing and out_ch < 64
+                    and all(rk % 2 == 1 for rk in self.resblock_kernel_sizes)):
+                pack = 128 // out_ch
+                # translation invariance: streaming slices mel at frame
+                # granularity, so packed phases stay window-independent only
+                # if pack divides the cumulative upsampling factor here —
+                # otherwise the float summation order would depend on the
+                # window offset and streamed != full at the int16 LSB level
+                cum = int(np.prod(self.upsample_rates[: i + 1]))
+                while pack > 1 and cum % pack != 0:
+                    pack //= 2
+                # packing also requires this stage's T % pack == 0
+                if pack > 1 and x.shape[1] % pack != 0:
+                    pack = 1
+            if pack > 1:
+                x = pack_time(x, pack)
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                r = ResBlock(out_ch, rk, tuple(rd), self.dtype,
+                r = ResBlock(out_ch, rk, tuple(rd), self.dtype, pack,
                              name=f"resblock_{i}_{j}")(x)
                 xs = r if xs is None else xs + r
             x = xs / len(self.resblock_kernel_sizes)
+            if pack > 1:
+                x = unpack_time(x, pack)
 
         x = nn.leaky_relu(x)
         wp = self.param("conv_post_kernel", nn.initializers.normal(0.01),

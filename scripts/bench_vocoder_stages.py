@@ -98,18 +98,27 @@ def main():
         y = jnp.asarray(np.random.default_rng(10 + i).normal(
             size=(args.B, t, out_ch)), dtype)
 
-        def res_stage(yy, i=i, out_ch=out_ch):
+        pack = max(1, 128 // out_ch) if out_ch < 128 else 1
+
+        def res_stage(yy, i=i, out_ch=out_ch, pack=1):
+            from masg_tpu.models.hifigan import pack_time, unpack_time
+            if pack > 1:
+                yy = pack_time(yy, pack)
             xs = None
             for j, (rk, rd) in enumerate(zip(voc.resblock_kernel_sizes,
                                              voc.resblock_dilation_sizes)):
-                r = ResBlock(out_ch, rk, tuple(rd), dtype).apply(
+                r = ResBlock(out_ch, rk, tuple(rd), dtype, pack).apply(
                     {"params": p[f"resblock_{i}_{j}"]}, yy)
                 xs = r if xs is None else xs + r
-            return xs / 3
+            xs = xs / 3
+            return unpack_time(xs, pack) if pack > 1 else xs
 
         ms_res = timed(res_stage, y)
+        ms_packed = (timed(lambda yy: res_stage(yy, pack=pack), y)
+                     if pack > 1 else ms_res)
         print(f"stage {i} (T={t:6d}, C={out_ch:3d}): up {ms_up:7.2f} ms   "
-              f"res {ms_res:7.2f} ms", flush=True)
+              f"res {ms_res:7.2f} ms   res_packed(p={pack}) {ms_packed:7.2f} ms",
+              flush=True)
 
     ms = timed(
         lambda xx: jnp.tanh(conv1d(jax.nn.leaky_relu(xx, 0.1),

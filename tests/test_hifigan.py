@@ -95,3 +95,19 @@ def test_weight_norm_folding():
         ref_wav = ref(torch.from_numpy(mel).transpose(1, 2)).squeeze(1).numpy()
     ours = np.asarray(gen.apply({"params": params}, jnp.asarray(mel)))
     np.testing.assert_allclose(ours, ref_wav, atol=2e-5)
+
+
+def test_time_packing_matches_plain():
+    """Block-Toeplitz time-packed MRF convs (the TPU lane-fill rewrite) are
+    numerically the same conv — packed vs plain outputs agree to float
+    rounding on both the full config and a tiny one with a non-divisible
+    stage length (which must silently fall back to unpacked)."""
+    rng = np.random.default_rng(5)
+    for kwargs, t_mel in ((dict(), 11), (TINY, 15)):
+        mel = jnp.asarray(rng.normal(size=(2, t_mel, 80)), jnp.float32)
+        plain = HiFiGANGenerator(time_packing=False, **kwargs)
+        packed = HiFiGANGenerator(time_packing=True, **kwargs)
+        variables = plain.init(jax.random.PRNGKey(2), mel)
+        a = np.asarray(plain.apply(variables, mel))
+        b = np.asarray(packed.apply(variables, mel))
+        np.testing.assert_allclose(a, b, atol=1e-6)
