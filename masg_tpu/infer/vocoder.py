@@ -118,17 +118,34 @@ def get_vocoder(
     )
 
     if checkpoint and os.path.exists(checkpoint):
-        import torch
-
-        ckpt = torch.load(checkpoint, map_location="cpu", weights_only=True)
-        state = ckpt.get("generator", ckpt)
-        state = {k: v.numpy() for k, v in state.items()}
-        params = convert_torch_state_dict(state, cfg)
+        params = load_generator_checkpoint(checkpoint, gen, cfg)
     else:
         mel = jnp.zeros((1, 8, cfg.get("num_mels", 80)))
         params = gen.init(jax.random.PRNGKey(rng_seed), mel)["params"]
 
     return Vocoder(gen, params)
+
+
+def load_generator_checkpoint(path: str, gen: HiFiGANGenerator, cfg: dict):
+    """Generator params from either checkpoint format: a torch `{'generator':
+    state_dict}` file (upstream / reference format) or a flax `.msgpack`
+    written by cli/train_vocoder (first-party training)."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    is_torch = head.startswith(b"PK") or head.startswith(b"\x80")
+    if path.endswith(".msgpack") or not is_torch:
+        import flax
+
+        mel = jnp.zeros((1, 8, cfg.get("num_mels", 80)))
+        template = gen.init(jax.random.PRNGKey(0), mel)["params"]
+        with open(path, "rb") as f:
+            return flax.serialization.from_bytes(template, f.read())
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    state = ckpt.get("generator", ckpt)
+    state = {k: v.numpy() for k, v in state.items()}
+    return convert_torch_state_dict(state, cfg)
 
 
 def vocoder_infer(

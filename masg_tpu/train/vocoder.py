@@ -1,0 +1,397 @@
+"""TPU-native HiFi-GAN vocoder training (GAN step, losses, parametrizations).
+
+The reference ships only generator inference (hifigan/models.py, utils/
+model.py:42-92) and points users at upstream jik876/hifi-gan to train one.
+This module closes that gap with the upstream training semantics re-built
+for XLA:
+
+- ONE jitted step runs: generator forward (shared between both updates via
+  `jax.vjp` — upstream also reuses one forward with retained graph),
+  discriminator AdamW update, then the generator update against the UPDATED
+  discriminators (upstream train.py order), LSGAN + feature-matching +
+  45x mel-L1 losses.
+- Upstream's weight norm / spectral norm are PURE PYTREE TRANSFORMS here
+  (`weight_norm_init` / `fold_params`): modules keep plain kernels, the
+  trainer optimizes the (v, g) parametrization and folds it in-graph.
+  Spectral norm's power-iteration vectors are explicit state threaded
+  through the step (torch hides them as buffers mutated per forward).
+- Mels are computed ON DEVICE inside the step from the raw audio segments
+  (upstream precomputes them per-item on CPU workers): one fused XLA
+  program per step, no host featurization.
+
+Hyperparameters come from the reference's hifigan/config.json schema
+(learning_rate, adam_b1/b2, lr_decay per epoch, segment_size, ...).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from ..audio.stft import hann_window, mel_filterbank
+from ..models.hifigan import HiFiGANGenerator
+from ..models.hifigan_disc import (
+    SPECTRAL_NORM_SCOPE,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+)
+
+# ---------------------------------------------------------------------------
+# mel for GAN training (upstream meldataset.mel_spectrogram semantics:
+# manual reflect pad of (n_fft - hop)/2, center=False, |STFT| with +1e-9
+# under the sqrt, slaney mel, log(clamp 1e-5)). This differs at the edges
+# from the TTS feature pipeline's center=True torchaudio stack (audio/stft.py)
+# — the vocoder must be trained on ITS dataset convention.
+# ---------------------------------------------------------------------------
+
+
+def mel_spectrogram_hifigan(
+    audio: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+    n_mels: int = 80,
+    sample_rate: int = 22050,
+    f_min: float = 0.0,
+    f_max: Optional[float] = 8000.0,
+) -> jnp.ndarray:
+    """(B, T) audio -> (B, n_frames, n_mels) log-mel, channel-last.
+
+    f_max=None (the config's `fmax_for_loss: null`) uses the full band.
+    n_frames = T // hop when hop divides T, so generator output length maps
+    back exactly: wav = G(mel) has T samples again.
+    """
+    window = jnp.asarray(hann_window(win_length))
+    pad = (n_fft - hop_length) // 2
+    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    t = x.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop_length
+    starts = jnp.arange(n_frames) * hop_length
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    frames = x[:, idx] * window  # (B, n_frames, n_fft)
+    spec = jnp.fft.rfft(frames, axis=-1)
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-9)
+    fb = jnp.asarray(mel_filterbank(
+        n_mels, n_fft, sample_rate, f_min,
+        f_max if f_max is not None else sample_rate / 2.0))
+    mel = jnp.einsum("btf,fm->btm", mag, fb)
+    return jnp.log(jnp.clip(mel, 1e-5, None))
+
+
+# ---------------------------------------------------------------------------
+# weight norm / spectral norm as pytree transforms
+# ---------------------------------------------------------------------------
+
+
+def _norm_axes(path: Tuple[str, ...], w: np.ndarray) -> Tuple[int, ...]:
+    """Axes reduced by the per-channel norm: all but torch's dim=0.
+
+    Kernels here are (k..., in, out) with torch's dim-0 = out, EXCEPT the
+    generator's ConvTranspose kernels (ups_*), where torch stores (in, out,
+    k) and weight_norm's default dim=0 is the INPUT channel axis.
+    """
+    if path[-1].startswith("ups_"):
+        return tuple(i for i in range(w.ndim) if i != 1)
+    return tuple(range(w.ndim - 1))
+
+
+def weight_norm_init(params: Any, sn_scope: Optional[str] = None):
+    """Plain params -> ({... kernel_v/kernel_g ...}, sn_state).
+
+    Reproduces torch's parametrize-at-wrap-time semantics: v = w and
+    g = ||w|| per channel, so the folded weight at init is w exactly.
+    Kernels under a path component == `sn_scope` get spectral norm instead:
+    the kernel stays a single leaf and a (u, v) power-iteration pair is
+    created in sn_state (keyed by the flat path string).
+    """
+    flat = flatten_dict(flax.core.unfreeze(params) if hasattr(params, "unfreeze")
+                        else params)
+    out, sn_state = {}, {}
+    for path, w in flat.items():
+        name = path[-1]
+        if not name.endswith("kernel"):
+            out[path] = w
+            continue
+        if sn_scope is not None and sn_scope in path[:-1]:
+            out[path] = w
+            mat = _sn_matrix(np.asarray(w))
+            rng = np.random.default_rng(
+                zlib.crc32("/".join(path).encode()) & 0x7FFFFFFF)
+            u = rng.normal(size=mat.shape[0]).astype(np.float32)
+            u /= np.linalg.norm(u) + 1e-12
+            v = mat.T @ u
+            v /= np.linalg.norm(v) + 1e-12
+            sn_state["/".join(path)] = {"u": jnp.asarray(u), "v": jnp.asarray(v)}
+            continue
+        axes = _norm_axes(path, w)
+        g = jnp.sqrt(jnp.sum(jnp.asarray(w) ** 2, axis=axes, keepdims=True))
+        out[path[:-1] + (name + "_v",)] = w
+        out[path[:-1] + (name + "_g",)] = g
+    return unflatten_dict(out), sn_state
+
+
+def _sn_matrix(w: jnp.ndarray) -> jnp.ndarray:
+    """Kernel -> (out, fan_in) matrix, matching torch spectral_norm dim=0 on
+    (out, in, k...): out leads and fan_in flattens in (in, k...) order, so a
+    converted torch (u, v) pair indexes identically."""
+    perm = (w.ndim - 1, w.ndim - 2) + tuple(range(w.ndim - 2))
+    return jnp.transpose(w, perm).reshape(w.shape[-1], -1)
+
+
+def fold_params(wn_params: Any, sn_state: Optional[Dict] = None,
+                update_sn: bool = True):
+    """(v, g) tree [+ sn_state] -> (plain params, new sn_state).
+
+    Weight-norm leaves fold to g * v / ||v||. Spectral-norm leaves divide by
+    sigma = u . (W v); with update_sn one power iteration refreshes (u, v)
+    first (torch's train-mode forward), u/v are non-differentiable state.
+    """
+    flat = flatten_dict(flax.core.unfreeze(wn_params)
+                        if hasattr(wn_params, "unfreeze") else wn_params)
+    out = {}
+    new_sn = {}
+    for path, w in flat.items():
+        name = path[-1]
+        if name.endswith("kernel_v"):
+            base = name[: -len("_v")]
+            g = flat[path[:-1] + (base + "_g",)]
+            axes = _norm_axes(path[:-1] + (base,), w)
+            norm = jnp.sqrt(jnp.sum(w ** 2, axis=axes, keepdims=True))
+            out[path[:-1] + (base,)] = g * w / (norm + 1e-12)
+        elif name.endswith("kernel_g"):
+            continue
+        elif name.endswith("kernel") and sn_state is not None and \
+                "/".join(path) in sn_state:
+            st = sn_state["/".join(path)]
+            mat = _sn_matrix(w)
+            u, v = st["u"], st["v"]
+            if update_sn:
+                v = mat.T @ u
+                v = v / (jnp.linalg.norm(v) + 1e-12)
+                u = mat @ v
+                u = u / (jnp.linalg.norm(u) + 1e-12)
+                u = jax.lax.stop_gradient(u)
+                v = jax.lax.stop_gradient(v)
+            sigma = jnp.dot(u, mat @ v)
+            out[path] = w / sigma
+            new_sn["/".join(path)] = {"u": u, "v": v}
+        else:
+            out[path] = w
+    return unflatten_dict(out), new_sn
+
+
+# ---------------------------------------------------------------------------
+# GAN losses (upstream train.py formulas)
+# ---------------------------------------------------------------------------
+
+
+def discriminator_loss(real_logits, fake_logits) -> jnp.ndarray:
+    """LSGAN: sum over discriminators of mean((1-dr)^2) + mean(dg^2)."""
+    loss = jnp.asarray(0.0)
+    for dr, dg in zip(real_logits, fake_logits):
+        loss = loss + jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg ** 2)
+    return loss
+
+
+def generator_adv_loss(fake_logits) -> jnp.ndarray:
+    loss = jnp.asarray(0.0)
+    for dg in fake_logits:
+        loss = loss + jnp.mean((1.0 - dg) ** 2)
+    return loss
+
+
+def feature_loss(real_fmaps, fake_fmaps) -> jnp.ndarray:
+    """2 * sum of L1 over every feature map of every discriminator."""
+    loss = jnp.asarray(0.0)
+    for dr, dg in zip(real_fmaps, fake_fmaps):
+        for rl, gl in zip(dr, dg):
+            loss = loss + jnp.mean(jnp.abs(rl - gl))
+    return loss * 2.0
+
+
+# ---------------------------------------------------------------------------
+# train state + step
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class VocoderTrainState:
+    step: jnp.ndarray
+    gen_params: Any  # weight-normed (v, g) tree
+    disc_params: Any  # {"mpd": wn tree, "msd": wn tree w/ sn kernels}
+    sn_state: Dict[str, Dict[str, jnp.ndarray]]
+    gen_opt: Any
+    disc_opt: Any
+
+
+class VocoderMetrics(NamedTuple):
+    disc_loss: jnp.ndarray
+    gen_loss: jnp.ndarray  # adversarial + feature-matching + mel
+    gen_adv: jnp.ndarray
+    fm: jnp.ndarray
+    mel_l1: jnp.ndarray  # unscaled L1 (upstream logs loss_mel / 45)
+
+
+def make_lr_schedule(learning_rate: float, lr_decay: float,
+                     steps_per_epoch: int) -> Callable:
+    """Upstream ExponentialLR(gamma=lr_decay) stepped once per epoch."""
+
+    def schedule(count):
+        epoch = count // max(1, steps_per_epoch)
+        return learning_rate * (lr_decay ** epoch)
+
+    return schedule
+
+
+def make_optimizers(cfg: Dict, steps_per_epoch: int):
+    """AdamW pair with the reference config.json hyperparameters
+    (learning_rate 2e-4, betas (0.8, 0.99), per-epoch lr_decay 0.999;
+    torch AdamW default weight_decay 0.01)."""
+    sched = make_lr_schedule(cfg.get("learning_rate", 2e-4),
+                             cfg.get("lr_decay", 0.999), steps_per_epoch)
+
+    def adamw():
+        return optax.adamw(sched, b1=cfg.get("adam_b1", 0.8),
+                           b2=cfg.get("adam_b2", 0.99), weight_decay=0.01)
+
+    return adamw(), adamw()
+
+
+def init_vocoder_train_state(
+    generator: HiFiGANGenerator,
+    mpd: MultiPeriodDiscriminator,
+    msd: MultiScaleDiscriminator,
+    cfg: Dict,
+    steps_per_epoch: int,
+    rng: jax.Array,
+    gen_params: Optional[Any] = None,
+) -> Tuple[VocoderTrainState, Tuple[optax.GradientTransformation, ...]]:
+    """Random-init (or warm-start from plain `gen_params`) a train state."""
+    r1, r2, r3 = jax.random.split(rng, 3)
+    seg = int(cfg.get("segment_size", 8192))
+    hop = int(cfg.get("hop_size", 256))
+    mel = jnp.zeros((1, seg // hop, generator.n_mels), jnp.float32)
+    if gen_params is None:
+        gen_params = generator.init(r1, mel)["params"]
+    wav = jnp.zeros((1, seg), jnp.float32)
+    mpd_params = mpd.init(r2, wav, wav)["params"]
+    msd_params = msd.init(r3, wav, wav)["params"]
+
+    g_wn, _ = weight_norm_init(gen_params)
+    mpd_wn, _ = weight_norm_init(mpd_params)
+    msd_wn, sn_state = weight_norm_init(msd_params, sn_scope=SPECTRAL_NORM_SCOPE)
+    disc = {"mpd": mpd_wn, "msd": msd_wn}
+
+    gen_tx, disc_tx = make_optimizers(cfg, steps_per_epoch)
+    state = VocoderTrainState(
+        step=jnp.asarray(0, jnp.int32),
+        gen_params=g_wn,
+        disc_params=disc,
+        sn_state=sn_state,
+        gen_opt=gen_tx.init(g_wn),
+        disc_opt=disc_tx.init(disc),
+    )
+    return state, (gen_tx, disc_tx)
+
+
+def make_vocoder_train_step(
+    generator: HiFiGANGenerator,
+    mpd: MultiPeriodDiscriminator,
+    msd: MultiScaleDiscriminator,
+    gen_tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    cfg: Dict,
+) -> Callable[[VocoderTrainState, jnp.ndarray], Tuple[VocoderTrainState, VocoderMetrics]]:
+    """Build the jittable GAN step: audio segments (B, segment_size) in,
+    both updates out. Mirrors upstream train.py:113-167 (D first, then G
+    against the updated D, one generator forward shared via vjp)."""
+
+    mel_kw = dict(
+        n_fft=int(cfg.get("n_fft", 1024)),
+        hop_length=int(cfg.get("hop_size", 256)),
+        win_length=int(cfg.get("win_size", 1024)),
+        n_mels=int(cfg.get("num_mels", 80)),
+        sample_rate=int(cfg.get("sampling_rate", 22050)),
+        f_min=float(cfg.get("fmin", 0) or 0.0),
+    )
+    f_max_in = cfg.get("fmax", 8000)
+    f_max_loss = cfg.get("fmax_for_loss", None)
+
+    def disc_forward(disc_params, y, y_hat):
+        r_p, g_p, fr_p, fg_p = mpd.apply({"params": disc_params["mpd"]}, y, y_hat)
+        r_s, g_s, fr_s, fg_s = msd.apply({"params": disc_params["msd"]}, y, y_hat)
+        return (r_p + r_s, g_p + g_s, fr_p + fr_s, fg_p + fg_s)
+
+    def fold_disc(disc_wn, sn_state, update_sn):
+        mpd_p, _ = fold_params(disc_wn["mpd"], None)
+        msd_p, new_sn = fold_params(disc_wn["msd"], sn_state, update_sn)
+        return {"mpd": mpd_p, "msd": msd_p}, new_sn
+
+    def train_step(state: VocoderTrainState, audio: jnp.ndarray):
+        y = audio
+        mel_in = mel_spectrogram_hifigan(y, f_max=f_max_in, **mel_kw)
+        y_mel = mel_spectrogram_hifigan(y, f_max=f_max_loss, **mel_kw)
+
+        def gen_forward(g_wn):
+            g_params, _ = fold_params(g_wn, None)
+            return generator.apply({"params": g_params}, mel_in)
+
+        y_hat, gen_vjp = jax.vjp(gen_forward, state.gen_params)
+
+        # ---- discriminator update (generator output detached) ----
+        def d_loss_fn(disc_wn, sn_state):
+            disc_p, sn1 = fold_disc(disc_wn, sn_state, update_sn=True)
+            r, g, _, _ = disc_forward(disc_p, y, jax.lax.stop_gradient(y_hat))
+            return discriminator_loss(r, g), sn1
+
+        (d_loss, sn1), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.disc_params, state.sn_state)
+        d_updates, disc_opt = disc_tx.update(d_grads, state.disc_opt,
+                                             state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # ---- generator update against the UPDATED discriminators ----
+        def g_loss_fn(y_hat):
+            disc_p, sn2 = fold_disc(disc_params, sn1, update_sn=True)
+            r, g, fr, fg = disc_forward(disc_p, y, y_hat)
+            adv = generator_adv_loss(g)
+            fm = feature_loss(fr, fg)
+            y_hat_mel = mel_spectrogram_hifigan(y_hat, f_max=f_max_loss, **mel_kw)
+            mel_l1 = jnp.mean(jnp.abs(y_mel - y_hat_mel))
+            total = adv + fm + 45.0 * mel_l1
+            return total, (adv, fm, mel_l1, sn2)
+
+        (g_loss, (adv, fm, mel_l1, sn2)), dy = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(y_hat)
+        (g_grads,) = gen_vjp(dy)
+        g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt,
+                                           state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        new_state = VocoderTrainState(
+            step=state.step + 1,
+            gen_params=gen_params,
+            disc_params=disc_params,
+            sn_state=sn2,
+            gen_opt=gen_opt,
+            disc_opt=disc_opt,
+        )
+        metrics = VocoderMetrics(disc_loss=d_loss, gen_loss=g_loss,
+                                 gen_adv=adv, fm=fm, mel_l1=mel_l1)
+        return new_state, metrics
+
+    return train_step
+
+
+def export_generator_params(state: VocoderTrainState) -> Any:
+    """Folded plain generator params, loadable by infer.vocoder.get_vocoder
+    (flax msgpack checkpoint)."""
+    params, _ = fold_params(state.gen_params, None)
+    return jax.device_get(params)
