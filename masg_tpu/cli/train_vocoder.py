@@ -41,6 +41,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--wav_dir", type=str, required=True,
                         help="directory tree of training wavs")
+    parser.add_argument("--mel_dir", type=str, default=None,
+                        help="fine-tuning mode (upstream --fine_tuning): "
+                             "generator inputs come from .npy mels here — "
+                             "e.g. cli/dump_mels output — paired with "
+                             "wav_dir audio by basename")
     parser.add_argument("--out", type=str, required=True)
     parser.add_argument("--config", type=str, default=None,
                         help="hifigan config.json (reference schema); "
@@ -65,7 +70,8 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    from ..data.vocoder import VocoderSegmentDataset, list_wavs
+    from ..data.vocoder import (VocoderFineTuneDataset, VocoderSegmentDataset,
+                                list_wavs)
     from ..infer.vocoder import DEFAULT_HIFIGAN_CONFIG
     from ..models.hifigan import HiFiGANGenerator
     from ..models.hifigan_disc import build_discriminators
@@ -86,11 +92,18 @@ def main(argv=None):
     batch_size = args.batch_size or int(cfg["batch_size"])
     seed = args.seed if args.seed is not None else int(cfg.get("seed", 1234))
 
-    paths = list_wavs(args.wav_dir)
-    print(f"{len(paths)} training wavs under {args.wav_dir}")
-    dataset = VocoderSegmentDataset(
-        paths, segment_size=int(cfg["segment_size"]),
-        sample_rate=int(cfg["sampling_rate"]), seed=seed)
+    if args.mel_dir:
+        dataset = VocoderFineTuneDataset(
+            args.mel_dir, args.wav_dir, segment_size=int(cfg["segment_size"]),
+            hop_size=int(cfg["hop_size"]),
+            sample_rate=int(cfg["sampling_rate"]), seed=seed)
+        print(f"{len(dataset.pairs)} (mel, wav) fine-tuning pairs")
+    else:
+        paths = list_wavs(args.wav_dir)
+        print(f"{len(paths)} training wavs under {args.wav_dir}")
+        dataset = VocoderSegmentDataset(
+            paths, segment_size=int(cfg["segment_size"]),
+            sample_rate=int(cfg["sampling_rate"]), seed=seed)
     steps_per_epoch = dataset.steps_per_epoch(batch_size)
 
     gen = HiFiGANGenerator(
@@ -116,7 +129,8 @@ def main(argv=None):
         state = load_msgpack(args.restore, state)
         print(f"restored {args.restore} at step {int(state.step)}")
 
-    step_fn = jax.jit(make_vocoder_train_step(gen, mpd, msd, gen_tx, disc_tx, cfg))
+    step_fn = jax.jit(make_vocoder_train_step(gen, mpd, msd, gen_tx, disc_tx,
+                                              cfg, from_mels=bool(args.mel_dir)))
 
     os.makedirs(args.out, exist_ok=True)
     start = int(state.step)

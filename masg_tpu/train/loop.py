@@ -405,6 +405,31 @@ class Trainer:
 
 
 # ----------------------------------------------------------------------
+def build_corpus_dict(cfg, name):
+    """Per-corpus preprocess dict in the Dataset constructor's schema
+    (the raw-yaml shape the reference passes around, train.py:38-44)."""
+    cc = cfg.corpora[name]
+    return {
+        "dataset": cc.dataset,
+        "path": {"raw_path": cc.raw_path, "preprocessed_path": cc.preprocessed_path},
+        "preprocessing": {
+            "val_size": cfg.preprocess.val_size,
+            "test_size": cfg.preprocess.test_size,
+            "audio": {"sampling_rate": cfg.preprocess.audio.sampling_rate,
+                      "max_wav_value": cfg.preprocess.audio.max_wav_value},
+            "stft": vars(cfg.preprocess.stft),
+            "mel": {"n_mel_channels": cfg.preprocess.mel.n_mel_channels,
+                    "mel_fmin": cfg.preprocess.mel.mel_fmin,
+                    "mel_fmax": cfg.preprocess.mel.mel_fmax},
+            "pitch": vars(cfg.preprocess.pitch),
+            "energy": vars(cfg.preprocess.energy),
+            "speaker_generation": {"metadata": cfg.preprocess.speaker_generation.metadata},
+        },
+        "text": {"text_cleaners": cc.text_cleaners, "language": cc.language},
+        "accent": {"use_accent": cc.use_accent},
+    }
+
+
 def build_experiment(
     cfg: ExperimentConfig,
     corpora: Optional[List[str]] = None,
@@ -434,26 +459,7 @@ def build_experiment(
     assert corpora, "no corpora configured"
 
     def corpus_dict(name):
-        cc = cfg.corpora[name]
-        return {
-            "dataset": cc.dataset,
-            "path": {"raw_path": cc.raw_path, "preprocessed_path": cc.preprocessed_path},
-            "preprocessing": {
-                "val_size": cfg.preprocess.val_size,
-                "test_size": cfg.preprocess.test_size,
-                "audio": {"sampling_rate": cfg.preprocess.audio.sampling_rate,
-                          "max_wav_value": cfg.preprocess.audio.max_wav_value},
-                "stft": vars(cfg.preprocess.stft),
-                "mel": {"n_mel_channels": cfg.preprocess.mel.n_mel_channels,
-                        "mel_fmin": cfg.preprocess.mel.mel_fmin,
-                        "mel_fmax": cfg.preprocess.mel.mel_fmax},
-                "pitch": vars(cfg.preprocess.pitch),
-                "energy": vars(cfg.preprocess.energy),
-                "speaker_generation": {"metadata": cfg.preprocess.speaker_generation.metadata},
-            },
-            "text": {"text_cleaners": cc.text_cleaners, "language": cc.language},
-            "accent": {"use_accent": cc.use_accent},
-        }
+        return build_corpus_dict(cfg, name)
 
     bs = cfg.train.optimizer.batch_size
     train_sets = [

@@ -308,10 +308,15 @@ def make_vocoder_train_step(
     gen_tx: optax.GradientTransformation,
     disc_tx: optax.GradientTransformation,
     cfg: Dict,
-) -> Callable[[VocoderTrainState, jnp.ndarray], Tuple[VocoderTrainState, VocoderMetrics]]:
+    from_mels: bool = False,
+) -> Callable[[VocoderTrainState, Any], Tuple[VocoderTrainState, VocoderMetrics]]:
     """Build the jittable GAN step: audio segments (B, segment_size) in,
     both updates out. Mirrors upstream train.py:113-167 (D first, then G
-    against the updated D, one generator forward shared via vjp)."""
+    against the updated D, one generator forward shared via vjp).
+
+    from_mels (upstream's fine_tuning mode): the batch is a (mels, audio)
+    pair and the generator consumes the GIVEN mels — e.g. acoustic-model
+    predictions — while the loss mel is still computed from the audio."""
 
     mel_kw = dict(
         n_fft=int(cfg.get("n_fft", 1024)),
@@ -334,9 +339,12 @@ def make_vocoder_train_step(
         msd_p, new_sn = fold_params(disc_wn["msd"], sn_state, update_sn)
         return {"mpd": mpd_p, "msd": msd_p}, new_sn
 
-    def train_step(state: VocoderTrainState, audio: jnp.ndarray):
-        y = audio
-        mel_in = mel_spectrogram_hifigan(y, f_max=f_max_in, **mel_kw)
+    def train_step(state: VocoderTrainState, batch):
+        if from_mels:
+            mel_in, y = batch
+        else:
+            y = batch
+            mel_in = mel_spectrogram_hifigan(y, f_max=f_max_in, **mel_kw)
         y_mel = mel_spectrogram_hifigan(y, f_max=f_max_loss, **mel_kw)
 
         def gen_forward(g_wn):

@@ -391,6 +391,60 @@ def test_vocoder_state_roundtrip_and_generator_export(tmp_path):
     np.testing.assert_allclose(np.asarray(wav1), np.asarray(wav2), atol=1e-6)
 
 
+def test_fine_tuning_workflow_dump_mels_to_vocoder(tmp_path):
+    """The full acoustic->vocoder fine-tuning loop (upstream --fine_tuning):
+    train FS2 briefly, dump teacher-forced predicted mels via cli/dump_mels,
+    fine-tune the vocoder on (predicted mel, ground-truth audio) pairs."""
+    from fixtures import build_synthetic_experiment_dir
+
+    from masg_tpu.cli.dump_mels import main as dump_main
+    from masg_tpu.cli.train import main as train_main
+    from masg_tpu.cli.train_vocoder import main as voc_main
+
+    tmp = str(tmp_path)
+    cfg_dir = build_synthetic_experiment_dir(
+        tmp, n_speakers=2, utts_per_speaker=3, total_step=2, save_step=2,
+        val_step=100, log_step=2)
+    train_main(["-c", cfg_dir, "--max_steps", "2"])
+
+    mel_dir = os.path.join(tmp, "predicted_mel")
+    dump_main(["-c", cfg_dir, "--restore_step", "2", "--out", mel_dir,
+               "--split", "train.txt", "val.txt"])
+    names = sorted(os.listdir(mel_dir))
+    # 6 utts split 0.2/0.2 -> 2 train + 2 val dumped (2 held out in test.txt)
+    assert len(names) == 4 and all(n.endswith(".npy") for n in names)
+    # teacher-forced dump is frame-aligned with the ground-truth features
+    pre = os.path.join(tmp, "preprocessed_data", "SYNTH")
+    gt = np.load(os.path.join(pre, "mel", names[0]))
+    pred = np.load(os.path.join(mel_dir, names[0]))
+    assert pred.shape == gt.shape and np.isfinite(pred).all()
+
+    # fine-tune a tiny vocoder on the dumped mels + raw audio
+    voc_cfg = {"segment_size": 2048, "hop_size": 256, "n_fft": 1024,
+               "win_size": 1024, "num_mels": 80, "sampling_rate": 22050,
+               "fmin": 0, "fmax": 8000, "fmax_for_loss": None,
+               "batch_size": 2, "learning_rate": 2e-4, "adam_b1": 0.8,
+               "adam_b2": 0.99, "lr_decay": 0.999,
+               "upsample_rates": [8, 8, 4],
+               "upsample_kernel_sizes": [16, 16, 8],
+               "upsample_initial_channel": 16,
+               "resblock_kernel_sizes": [3],
+               "resblock_dilation_sizes": [[1, 2]],
+               "mpd_periods": [2], "mpd_channels": [4, 8, 8, 8],
+               "msd_scales": 1,
+               "msd_layers": [[8, 15, 1, 1], [16, 41, 4, 4], [16, 5, 1, 1]]}
+    cfg_path = os.path.join(tmp, "voc_config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(voc_cfg, f)
+    out = os.path.join(tmp, "voc_out")
+    voc_main(["--wav_dir", os.path.join(tmp, "raw_data", "SYNTH"),
+              "--mel_dir", mel_dir, "--out", out, "--config", cfg_path,
+              "--steps", "2", "--save_step", "2", "--log_step", "1"])
+    assert os.path.exists(os.path.join(out, "generator_2.msgpack"))
+    log = [json.loads(l) for l in open(os.path.join(out, "log.jsonl"))]
+    assert np.isfinite(log[-1]["gen_loss"])
+
+
 def test_train_vocoder_cli_smoke(tmp_path):
     """The CLI trains a tiny config end-to-end from a wav dir and writes
     resumable + generator checkpoints."""
