@@ -61,6 +61,9 @@ def main(argv=None):
     parser.add_argument("--save_step", type=int, default=5000)
     parser.add_argument("--log_step", type=int, default=100)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="cap the data-parallel device count (default: "
+                             "all visible devices)")
     args = parser.parse_args(argv)
 
     from ..core.cache import enable_compilation_cache
@@ -129,6 +132,19 @@ def main(argv=None):
         state = load_msgpack(args.restore, state)
         print(f"restored {args.restore} at step {int(state.step)}")
 
+    # data parallelism over the mesh: params/opt replicated, batches sharded
+    # on the 'data' axis — XLA inserts the gradient all-reduce
+    from ..parallel.mesh import (data_parallel_size, make_mesh, replicate,
+                                 shard_batch)
+
+    mesh = None
+    n_avail = args.n_devices or len(jax.devices())
+    n_data = data_parallel_size(batch_size, n_avail)
+    if n_data > 1:
+        mesh = make_mesh(n_data=n_data, n_model=1)
+        state = replicate(state, mesh)
+        print(f"data-parallel GAN training over {n_data} devices")
+
     step_fn = jax.jit(make_vocoder_train_step(gen, mpd, msd, gen_tx, disc_tx,
                                               cfg, from_mels=bool(args.mel_dir)))
 
@@ -137,6 +153,8 @@ def main(argv=None):
     t0 = time.time()
     log_path = os.path.join(args.out, "log.jsonl")
     for audio in dataset.batches(batch_size, num_steps=args.steps - start):
+        if mesh is not None:
+            audio = shard_batch(audio, mesh)
         state, metrics = step_fn(state, audio)
         step = int(state.step)
         if step % args.log_step == 0 or step == start + 1:

@@ -13,12 +13,37 @@ import os
 DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "masg_tpu_xla")
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU feature set. XLA:CPU caches AOT machine
+    code compiled for the exact feature set of the compiling host; loading
+    entries produced on a different machine triggers feature-mismatch
+    warnings and can SIGSEGV/SIGILL (observed: a crash inside
+    put_executable_and_time after foreign AOT loads). Keying the cache dir
+    per host CPU keeps entries homogeneous."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = line
+                    break
+            else:
+                feats = ""
+    except OSError:
+        import platform
+
+        feats = platform.processor() + platform.machine()
+    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache() -> None:
     if os.environ.get("MASG_NO_COMPILE_CACHE") == "1":
         return
     import jax
 
     cache_dir = os.environ.get("MASG_COMPILE_CACHE_DIR", DEFAULT_DIR)
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -391,6 +391,27 @@ def test_vocoder_state_roundtrip_and_generator_export(tmp_path):
     np.testing.assert_allclose(np.asarray(wav1), np.asarray(wav2), atol=1e-6)
 
 
+def test_vocoder_dp_matches_single_device():
+    """The dp-sharded GAN step (params replicated, batch on 'data') produces
+    the same losses as the unsharded step — the vocoder step is rng-free, so
+    the trajectories must agree to float tolerance."""
+    from masg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    gen, state, step_fn = _tiny_setup()
+    mesh = make_mesh(n_data=4, n_model=1)
+    state_dp = replicate(jax.device_get(state), mesh)
+
+    rng = np.random.default_rng(11)
+    for i in range(3):
+        audio = _sine_batch(rng, 4, TINY_CFG["segment_size"])
+        state, m1 = step_fn(state, jnp.asarray(audio))
+        state_dp, m2 = step_fn(state_dp, shard_batch(audio, mesh))
+        np.testing.assert_allclose(float(m1.gen_loss), float(m2.gen_loss),
+                                   rtol=2e-4)
+        np.testing.assert_allclose(float(m1.disc_loss), float(m2.disc_loss),
+                                   rtol=2e-4)
+
+
 def test_fine_tuning_workflow_dump_mels_to_vocoder(tmp_path):
     """The full acoustic->vocoder fine-tuning loop (upstream --fine_tuning):
     train FS2 briefly, dump teacher-forced predicted mels via cli/dump_mels,
