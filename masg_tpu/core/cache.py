@@ -37,13 +37,26 @@ def _host_fingerprint() -> str:
     return hashlib.sha1(feats.encode()).hexdigest()[:10]
 
 
+def _cpu_platform_selected() -> bool:
+    """True when jax will run on the CPU backend (config override or env),
+    WITHOUT initializing the backend."""
+    import jax
+
+    plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    first = str(plats).split(",")[0].strip().lower()
+    return first == "cpu"
+
+
 def enable_compilation_cache() -> None:
     if os.environ.get("MASG_NO_COMPILE_CACHE") == "1":
         return
     import jax
 
     cache_dir = os.environ.get("MASG_COMPILE_CACHE_DIR", DEFAULT_DIR)
-    cache_dir = os.path.join(cache_dir, _host_fingerprint())
+    # XLA:CPU AOT artifacts are host-CPU-specific (see _host_fingerprint);
+    # TPU executables are host-agnostic and stay shared
+    if _cpu_platform_selected():
+        cache_dir = os.path.join(cache_dir, _host_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
