@@ -135,9 +135,25 @@ class ResBlock(nn.Module):
     dilations: Tuple[int, ...] = (1, 3, 5)
     dtype: jnp.dtype = jnp.float32
     pack: int = 1
+    # declare params and return them instead of computing (the generator's
+    # fused_mrf path feeds them to the Pallas stage kernel; same names and
+    # shapes, so checkpoints are interchangeable between both paths)
+    return_params: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.return_params:
+            params = {}
+            for i in range(len(self.dilations)):
+                for cn in ("convs1", "convs2"):
+                    params[f"{cn}_{i}_kernel"] = self.param(
+                        f"{cn}_{i}_kernel", nn.initializers.normal(0.01),
+                        (self.kernel_size, self.channels, self.channels),
+                        self.dtype)
+                    params[f"{cn}_{i}_bias"] = self.param(
+                        f"{cn}_{i}_bias", nn.initializers.zeros,
+                        (self.channels,), self.dtype)
+            return params
         for i, d in enumerate(self.dilations):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             w1 = self.param(
@@ -182,6 +198,13 @@ class HiFiGANGenerator(nn.Module):
     # ~8% of peak unpacked; the packed rewrite is exact up to float order).
     # False restores bit-level parity with the plain conv path.
     time_packing: bool = True
+    # run sub-128-channel MRF stages as ONE fused Pallas kernel per stage
+    # (ops/fused_mrf.py): activations stay in VMEM across all 18 convs and
+    # dilated taps stack along the matmul contraction dim (no Toeplitz
+    # zeros). Inference-only (no VJP); takes precedence over time_packing
+    # for the stages it covers. interpret=True runs it on CPU for tests.
+    fused_mrf: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -200,6 +223,23 @@ class HiFiGANGenerator(nn.Module):
                             (k, in_ch, out_ch), self.dtype)
             bu = self.param(f"ups_{i}_bias", nn.initializers.zeros, (out_ch,), self.dtype)
             x = conv_transpose1d(x, wu, bu, stride=u, padding=(k - u) // 2)
+
+            if (self.fused_mrf and out_ch <= 64
+                    and all(rk % 2 == 1 for rk in self.resblock_kernel_sizes)):
+                from ..ops.fused_mrf import fused_mrf_stage
+
+                params = [
+                    ResBlock(out_ch, rk, tuple(rd), self.dtype,
+                             return_params=True, name=f"resblock_{i}_{j}")(x)
+                    for j, (rk, rd) in enumerate(
+                        zip(self.resblock_kernel_sizes,
+                            self.resblock_dilation_sizes))
+                ]
+                x = fused_mrf_stage(
+                    x, params, self.resblock_kernel_sizes,
+                    self.resblock_dilation_sizes,
+                    interpret=self.fused_interpret)
+                continue
 
             pack = 1
             # measured on-chip: p=4 (C=32) wins 2.3x, but p=2 (C=64) LOSES
