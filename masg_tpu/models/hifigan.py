@@ -247,7 +247,12 @@ class HiFiGANGenerator(nn.Module):
             # paid back by filling 64->128 lanes — so pack only below C=64
             if (self.time_packing and out_ch < 64
                     and all(rk % 2 == 1 for rk in self.resblock_kernel_sizes)):
-                pack = 128 // out_ch
+                # cap at the measured optimum p=4 (C=32). Beyond that the
+                # Toeplitz weight build emits k*p update-slices per conv —
+                # at p=32/64 (tiny test configs: out_ch 4/2) one generator
+                # graph carried ~24k such ops, which blew XLA:CPU compile
+                # times to minutes and segfaulted its codegen on two suites
+                pack = min(4, 128 // out_ch)
                 # translation invariance: streaming slices mel at frame
                 # granularity, so packed phases stay window-independent only
                 # if pack divides the cumulative upsampling factor here —

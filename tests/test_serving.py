@@ -18,24 +18,6 @@ import pytest
 from test_fastspeech2 import tiny_config
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_cache_writes():
-    """Keep persistent-cache READS but skip WRITES for this module.
-
-    Full-suite runs segfault deterministically inside
-    `executable.serialize()` (jax compilation_cache.put_executable_and_time)
-    when the engine's speaker-emb executable is serialized late in a
-    long-lived pytest process (observed twice at the same test, 2026-08-18);
-    the same test passes in a fresh process, so the crash is process-state
-    dependent inside XLA:CPU AOT export — not reachable from here. Skipping
-    the writes removes the crash without losing warm-cache reads."""
-    from jax._src import compilation_cache as cc
-
-    orig = cc.put_executable_and_time
-    cc.put_executable_and_time = lambda *a, **k: None
-    yield
-    cc.put_executable_and_time = orig
-
 
 def _biased_variables(model, cfg, L=16):
     from masg_tpu.infer.serving import with_duration_bias
