@@ -285,6 +285,10 @@ def main(argv=None):
     parser.add_argument("--lexicon", default=None,
                         help="pinyin lexicon path (zh requests); defaults to "
                              "<config_dir>/lexicon/pinyin-lexicon-r.txt or cwd")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard batched dispatches over all devices "
+                             "(GSPMD data mesh); scales --dynamic_batch "
+                             "throughput with chip count")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -300,6 +304,15 @@ def main(argv=None):
     if not args.no_vocoder:
         vocoder = get_vocoder(cfg.model, cfg.config_dir,
                               checkpoint=args.vocoder_checkpoint)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+        print(f"data-parallel serving over {mesh.shape['data']} devices",
+              flush=True)
     engine = ServingEngine(
         cfg,
         restore_step=args.restore_step,
@@ -307,6 +320,7 @@ def main(argv=None):
         text_buckets=tuple(int(b) for b in args.buckets.split(",")),
         frames_per_phone=args.frames_per_phone,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        mesh=mesh,
     )
     batch_ladder = (1,)
     batcher = None

@@ -75,6 +75,15 @@ class ServingEngine:
         mel cap of round_up(L * frames_per_phone, 128), clipped to
         max_seq_len (the decoder's PE/truncation limit, reference
         transformer/Models.py:166-174).
+    mesh: optional jax.sharding.Mesh with a 'data' axis for multi-chip
+        serving. Params (model + vocoder) are replicated over the mesh and
+        each batched dispatch shards the request batch on 'data' — GSPMD
+        partitions the whole fused text->wav graph across the slice, so
+        throughput scales with chips without per-chip server processes.
+        Batches not divisible by the data axis (including B=1) fall back to
+        replicated compute: same numerics, no speedup. Pair with a
+        DynamicBatcher / warmup ladder whose batch buckets are multiples of
+        mesh.shape['data'].
     """
 
     def __init__(
@@ -86,6 +95,7 @@ class ServingEngine:
         text_buckets: Sequence[int] = (16, 32, 64, 128),
         frames_per_phone: int = 12,
         dtype=jnp.float32,
+        mesh=None,
     ):
         self.cfg = cfg
         self.vocoder = vocoder
@@ -97,6 +107,13 @@ class ServingEngine:
 
         self.model, loaded = load_model(cfg, restore_step, dtype=dtype)
         self.variables = variables if variables is not None else loaded
+        self.mesh = mesh
+        self._voc_params = vocoder.params if vocoder is not None else {}
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.variables = replicate(self.variables, mesh)
+            self._voc_params = replicate(self._voc_params, mesh)
 
         self.mel_caps: Dict[int, int] = {
             L: min(max_seq_len, round_up(L * frames_per_phone, 128))
@@ -193,7 +210,7 @@ class ServingEngine:
         mel_only: bool = False,
     ):
         L = texts.shape[1]
-        voc_params = self.vocoder.params if self.vocoder is not None else {}
+        voc_params = self._voc_params
         c = np.asarray(controls, np.float32)
         if c.ndim == 1:  # shared controls -> one row per batch item
             c = np.tile(c, (texts.shape[0], 1))
@@ -220,10 +237,27 @@ class ServingEngine:
                 if speaker_meta is not None
                 else jnp.zeros((texts.shape[0], self.meta_dim), jnp.float32)
             )
-        return fn(
-            self.variables, voc_params, jnp.asarray(texts), jnp.asarray(src_lens),
-            jnp.asarray(accents), spk, meta, c,
-        )
+        args = (jnp.asarray(texts), jnp.asarray(src_lens), jnp.asarray(accents),
+                jnp.asarray(spk), meta, c)
+        if self.mesh is not None:
+            args = self._place_dp(*args)
+        return fn(self.variables, voc_params, *args)
+
+    def _place_dp(self, *arrays):
+        """Place request arrays on the mesh: batch dim sharded over 'data'
+        when it divides evenly, replicated otherwise (B=1 latency path).
+        With params replicated, GSPMD partitions the fused graph so each
+        device synthesizes B/n_data requests."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = self.mesh.shape["data"]
+        placed = []
+        for x in arrays:
+            x = jnp.asarray(x)
+            spec = (P("data") if x.ndim >= 1 and x.shape[0] % n_data == 0
+                    else P())
+            placed.append(jax.device_put(x, NamedSharding(self.mesh, spec)))
+        return tuple(placed)
 
     # ------------------------------------------------------------------
     def _pad_request(self, ids, accent_ids):
