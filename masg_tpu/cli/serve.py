@@ -308,9 +308,22 @@ def main(argv=None):
     if args.data_parallel:
         import jax
 
-        from ..parallel.mesh import make_mesh
+        from ..parallel.mesh import data_parallel_size, make_mesh
 
-        mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+        # size the data axis to the LARGEST batch bucket the DynamicBatcher
+        # will dispatch (powers of 2 up to --dynamic_batch): a mesh wider
+        # than any bucket divides no batch and silently replicates compute
+        max_bucket = 1
+        while max_bucket < args.dynamic_batch:
+            max_bucket *= 2
+        n_data = data_parallel_size(max_bucket, len(jax.devices()))
+        if n_data <= 1:
+            print(f"warning: --data_parallel with --dynamic_batch "
+                  f"{args.dynamic_batch} shards nothing (largest batch "
+                  f"bucket {max_bucket} / {len(jax.devices())} devices); "
+                  f"raise --dynamic_batch to at least the device count",
+                  flush=True)
+        mesh = make_mesh(n_data=n_data, n_model=1)
         print(f"data-parallel serving over {mesh.shape['data']} devices",
               flush=True)
     engine = ServingEngine(

@@ -4,6 +4,15 @@ TPU compiles of the full model take minutes (the HiFi-GAN graph especially);
 enabling jax's persistent cache makes second runs of every CLI start in
 seconds. Called by all CLI entry points; opt out with MASG_NO_COMPILE_CACHE=1
 or redirect with MASG_COMPILE_CACHE_DIR.
+
+XLA:CPU is excluded by default: its cache entries are AOT machine code
+compiled for the exact CPU feature set XLA detected on the *compiling* host
+(including XLA-internal target-feature choices like +prefer-no-gather that no
+/proc/cpuinfo fingerprint captures), so entries written on one machine
+feature-mismatch — and have SIGSEGV'd — when loaded on another. The cache
+exists for TPU compile times; CPU runs always compile fresh unless
+MASG_CPU_COMPILE_CACHE=1 opts in for a guaranteed-same-machine workflow
+(e.g. repeated local test runs).
 """
 
 from __future__ import annotations
@@ -11,30 +20,6 @@ from __future__ import annotations
 import os
 
 DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "masg_tpu_xla")
-
-
-def _host_fingerprint() -> str:
-    """Short hash of the host CPU feature set. XLA:CPU caches AOT machine
-    code compiled for the exact feature set of the compiling host; loading
-    entries produced on a different machine triggers feature-mismatch
-    warnings and can SIGSEGV/SIGILL (observed: a crash inside
-    put_executable_and_time after foreign AOT loads). Keying the cache dir
-    per host CPU keeps entries homogeneous."""
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    feats = line
-                    break
-            else:
-                feats = ""
-    except OSError:
-        import platform
-
-        feats = platform.processor() + platform.machine()
-    return hashlib.sha1(feats.encode()).hexdigest()[:10]
 
 
 def _cpu_platform_selected() -> bool:
@@ -50,13 +35,16 @@ def _cpu_platform_selected() -> bool:
 def enable_compilation_cache() -> None:
     if os.environ.get("MASG_NO_COMPILE_CACHE") == "1":
         return
+    if (_cpu_platform_selected()
+            and os.environ.get("MASG_CPU_COMPILE_CACHE") != "1"):
+        return  # see module docstring: CPU AOT entries are host-specific
     import jax
 
     cache_dir = os.environ.get("MASG_COMPILE_CACHE_DIR", DEFAULT_DIR)
-    # XLA:CPU AOT artifacts are host-CPU-specific (see _host_fingerprint);
-    # TPU executables are host-agnostic and stay shared
     if _cpu_platform_selected():
-        cache_dir = os.path.join(cache_dir, _host_fingerprint())
+        # opt-in CPU cache: keep CPU entries out of the shared TPU dir so a
+        # later TPU run never scans them
+        cache_dir = os.path.join(cache_dir, "cpu")
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

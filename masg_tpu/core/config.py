@@ -180,7 +180,15 @@ class VarianceEmbeddingConfig:
 @dataclass
 class JDITConfig:
     use_jdit: bool = False
+    # dims default to the reference's hardcoded Tacotron2 hyperparameters
+    # (reference model/jdit.py Decoder :238-490); configurable so tiny test /
+    # dryrun experiments don't pay full-size LSTM-scan compile+execute cost
     prenet_hidden: int = 256
+    attention_rnn_dim: int = 1024
+    decoder_rnn_dim: int = 1024
+    attention_dim: int = 128
+    location_filters: int = 32
+    location_kernel: int = 31
 
 
 @dataclass

@@ -143,7 +143,12 @@ def make_config_dir(root, pre_dir, tmp, *, dataset="SYNTH", batch_size=2,
             "variance_predictor": {"filter_size": 64, "kernel_size": 3, "dropout": 0.5},
             "variance_embedding": {"pitch_quantization": "linear",
                                    "energy_quantization": "linear", "n_bins": 256},
-            "jdit": {"use_jdit": use_jdit, "prenet_hidden": 64},
+            # tiny Tacotron2 teacher dims: full-size (1024-dim LSTM) scan
+            # grad compiles+executes for minutes on a 1-core CPU mesh
+            "jdit": {"use_jdit": use_jdit, "prenet_hidden": 32,
+                     "attention_rnn_dim": 48, "decoder_rnn_dim": 48,
+                     "attention_dim": 16, "location_filters": 4,
+                     "location_kernel": 7},
             "multi_speaker": True,
             "max_seq_len": 1000,
             "vocoder": {"model": "HiFi-GAN", "speaker": "universal"},

@@ -247,8 +247,11 @@ class ServingEngine:
         """Place request arrays on the mesh: batch dim sharded over 'data'
         when it divides evenly, replicated otherwise (B=1 latency path).
         With params replicated, GSPMD partitions the fused graph so each
-        device synthesizes B/n_data requests."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        device synthesizes B/n_data requests. Goes through place_global so a
+        multi-host mesh (non-addressable devices) works like the param path."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import place_global
 
         n_data = self.mesh.shape["data"]
         placed = []
@@ -256,7 +259,7 @@ class ServingEngine:
             x = jnp.asarray(x)
             spec = (P("data") if x.ndim >= 1 and x.shape[0] % n_data == 0
                     else P())
-            placed.append(jax.device_put(x, NamedSharding(self.mesh, spec)))
+            placed.append(place_global(x, self.mesh, spec))
         return tuple(placed)
 
     # ------------------------------------------------------------------

@@ -98,8 +98,15 @@ class FastSpeech2(nn.Module):
     energy_feature_level: str = "phoneme_level"
     # speaker prior
     gmm_mixtures: int = 3
-    # joint-duration Tacotron2 teacher (reference jdit.use_jdit)
+    # joint-duration Tacotron2 teacher (reference jdit.use_jdit); dims
+    # default to the reference's hardcoded Tacotron2 hyperparameters
     use_jdit: bool = False
+    jdit_attention_rnn_dim: int = 1024
+    jdit_decoder_rnn_dim: int = 1024
+    jdit_prenet_dim: int = 256
+    jdit_attention_dim: int = 128
+    jdit_location_filters: int = 32
+    jdit_location_kernel: int = 31
     # mel
     n_mel_channels: int = 80
     use_flash: bool = False
@@ -155,6 +162,12 @@ class FastSpeech2(nn.Module):
             energy_feature_level=p.energy.feature,
             gmm_mixtures=m.speaker_generation.GMM_mixtures,
             use_jdit=m.jdit.use_jdit,
+            jdit_attention_rnn_dim=m.jdit.attention_rnn_dim,
+            jdit_decoder_rnn_dim=m.jdit.decoder_rnn_dim,
+            jdit_prenet_dim=m.jdit.prenet_hidden,
+            jdit_attention_dim=m.jdit.attention_dim,
+            jdit_location_filters=m.jdit.location_filters,
+            jdit_location_kernel=m.jdit.location_kernel,
             n_mel_channels=p.mel.n_mel_channels,
             use_flash=use_flash,
             dtype=dtype,
@@ -200,6 +213,12 @@ class FastSpeech2(nn.Module):
         if self.use_jdit:
             self.jdit = JDIT(
                 n_mels=self.n_mel_channels, encoder_dim=self.encoder_hidden,
+                attention_rnn_dim=self.jdit_attention_rnn_dim,
+                decoder_rnn_dim=self.jdit_decoder_rnn_dim,
+                prenet_dim=self.jdit_prenet_dim,
+                attention_dim=self.jdit_attention_dim,
+                location_filters=self.jdit_location_filters,
+                location_kernel=self.jdit_location_kernel,
                 dtype=self.dtype,
             )
         if self.multi_speaker:

@@ -186,18 +186,33 @@ class JDITDecoder(nn.Module):
 
 
 class JDIT(nn.Module):
-    """Reference jdit.py:493-520."""
+    """Reference jdit.py:493-520. Decoder dims default to the reference's
+    hardcoded Tacotron2 hyperparameters; overridable via JDITConfig so tiny
+    experiments don't pay full-size 1024-dim LSTM-scan cost."""
 
     n_mels: int = 80
     encoder_dim: int = 256
     hop_length: int = 256
     sampling_rate: int = 22050
+    attention_rnn_dim: int = 1024
+    decoder_rnn_dim: int = 1024
+    prenet_dim: int = 256
+    attention_dim: int = 128
+    location_filters: int = 32
+    location_kernel: int = 31
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, encoder_outputs, mels, src_pad_mask, deterministic=True):
         return JDITDecoder(
-            n_mels=self.n_mels, encoder_dim=self.encoder_dim, dtype=self.dtype,
+            n_mels=self.n_mels, encoder_dim=self.encoder_dim,
+            attention_rnn_dim=self.attention_rnn_dim,
+            decoder_rnn_dim=self.decoder_rnn_dim,
+            prenet_dim=self.prenet_dim,
+            attention_dim=self.attention_dim,
+            location_filters=self.location_filters,
+            location_kernel=self.location_kernel,
+            dtype=self.dtype,
             name="decoder",
         )(encoder_outputs, mels, src_pad_mask, deterministic)
 

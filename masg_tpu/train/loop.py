@@ -522,7 +522,7 @@ def build_experiment(
     if use_clf or ganlike:
         from ..models.speaker_encoder import SpeechEmbedder
 
-        discriminator = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels)
+        n_mels = cfg.preprocess.mel.n_mel_channels
         dpath = cfg.train.discriminator_path
         if dpath:
             # a configured discriminator_path MUST load (reference
@@ -531,9 +531,19 @@ def build_experiment(
             if not os.path.exists(dpath):
                 raise FileNotFoundError(
                     f"train.yaml discriminator_path does not exist: {dpath}")
+            discriminator = SpeechEmbedder(n_mels=n_mels)
             discriminator_params = load_ge2e_checkpoint(dpath, discriminator)
+            # the pretrained encoder defines the discriminator dims
+            # (reference train.py:74-91 loads the ckpt as-is); model.yaml's
+            # discriminator.hidden only sizes fresh random inits below
+            hidden = int(np.shape(
+                discriminator_params["OptimizedLSTMCell_0"]["hf"]["bias"])[0])
+            proj = int(np.shape(discriminator_params["projection"]["kernel"])[1])
+            discriminator = SpeechEmbedder(n_mels=n_mels, hidden=hidden, proj=proj)
         else:
-            chunk = jnp.zeros((2, 150, cfg.preprocess.mel.n_mel_channels))
+            discriminator = SpeechEmbedder(n_mels=n_mels,
+                                           hidden=cfg.model.discriminator.hidden)
+            chunk = jnp.zeros((2, 150, n_mels))
             discriminator_params = discriminator.init(
                 jax.random.PRNGKey(seed + 1), chunk
             )["params"]

@@ -12,8 +12,6 @@ non-divisible batches (falls back to replicated compute), and the B=1
 latency path.
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
