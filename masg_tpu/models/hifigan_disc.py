@@ -156,22 +156,30 @@ class MultiPeriodDiscriminator(nn.Module):
 class MultiScaleDiscriminator(nn.Module):
     """Three DiscriminatorS at rates 1x, 1/2x, 1/4x (avg-pooled). Upstream
     puts spectral norm on the full-rate scale only — the trainer applies it
-    to this module's `disc_0` subtree (SPECTRAL_NORM_SCOPE)."""
+    to this module's `disc_0` subtree (SPECTRAL_NORM_SCOPE).
+
+    With `y_hat=None` only the y pass runs (single-input mode): the trainer
+    applies the module once per pass with DIFFERENTLY-FOLDED spectral-norm
+    kernels, reproducing torch's per-forward power-iteration cadence."""
 
     n_scales: int = 3
     layers: Tuple[Tuple[int, int, int, int], ...] = _SCALE_LAYERS
 
     @nn.compact
-    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+    def __call__(self, y: jnp.ndarray, y_hat=None):
         rs, gs, fr, fg = [], [], [], []
         for i in range(self.n_scales):
             if i != 0:
                 y = _avg_pool_4_2_pad2(y)
-                y_hat = _avg_pool_4_2_pad2(y_hat)
+                y_hat = None if y_hat is None else _avg_pool_4_2_pad2(y_hat)
             d = ScaleDiscriminator(layers=self.layers, name=f"disc_{i}")
             r, fmap_r = d(y)
-            g, fmap_g = d(y_hat)
-            rs.append(r), gs.append(g), fr.append(fmap_r), fg.append(fmap_g)
+            rs.append(r), fr.append(fmap_r)
+            if y_hat is not None:
+                g, fmap_g = d(y_hat)
+                gs.append(g), fg.append(fmap_g)
+        if y_hat is None:
+            return rs, fr
         return rs, gs, fr, fg
 
 

@@ -329,15 +329,23 @@ def make_vocoder_train_step(
     f_max_in = cfg.get("fmax", 8000)
     f_max_loss = cfg.get("fmax_for_loss", None)
 
-    def disc_forward(disc_params, y, y_hat):
-        r_p, g_p, fr_p, fg_p = mpd.apply({"params": disc_params["mpd"]}, y, y_hat)
-        r_s, g_s, fr_s, fg_s = msd.apply({"params": disc_params["msd"]}, y, y_hat)
-        return (r_p + r_s, g_p + g_s, fr_p + fr_s, fg_p + fg_s)
+    def disc_forward(disc_wn, sn_state, y, y_hat):
+        """Fold + apply both discriminator banks on (real, fake).
 
-    def fold_disc(disc_wn, sn_state, update_sn):
+        torch's spectral_norm is a pre-forward hook that power-iterates on
+        EVERY train-mode module call, so upstream's real and fake passes see
+        DIFFERENT sigmas (y after one iteration, y_hat after two). The MSD
+        is folded once per pass to reproduce that cadence exactly
+        (tests/test_vocoder_train_parity.py); weight-norm kernels (MPD and
+        the pooled MSD scales) fold deterministically, one fold serves both
+        passes."""
         mpd_p, _ = fold_params(disc_wn["mpd"], None)
-        msd_p, new_sn = fold_params(disc_wn["msd"], sn_state, update_sn)
-        return {"mpd": mpd_p, "msd": msd_p}, new_sn
+        msd_r, sn_a = fold_params(disc_wn["msd"], sn_state, update_sn=True)
+        msd_g, sn_b = fold_params(disc_wn["msd"], sn_a, update_sn=True)
+        r_p, g_p, fr_p, fg_p = mpd.apply({"params": mpd_p}, y, y_hat)
+        r_s, fr_s = msd.apply({"params": msd_r}, y)
+        g_s, fg_s = msd.apply({"params": msd_g}, y_hat)
+        return (r_p + r_s, g_p + g_s, fr_p + fr_s, fg_p + fg_s), sn_b
 
     def train_step(state: VocoderTrainState, batch):
         if from_mels:
@@ -355,8 +363,8 @@ def make_vocoder_train_step(
 
         # ---- discriminator update (generator output detached) ----
         def d_loss_fn(disc_wn, sn_state):
-            disc_p, sn1 = fold_disc(disc_wn, sn_state, update_sn=True)
-            r, g, _, _ = disc_forward(disc_p, y, jax.lax.stop_gradient(y_hat))
+            (r, g, _, _), sn1 = disc_forward(
+                disc_wn, sn_state, y, jax.lax.stop_gradient(y_hat))
             return discriminator_loss(r, g), sn1
 
         (d_loss, sn1), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -367,8 +375,7 @@ def make_vocoder_train_step(
 
         # ---- generator update against the UPDATED discriminators ----
         def g_loss_fn(y_hat):
-            disc_p, sn2 = fold_disc(disc_params, sn1, update_sn=True)
-            r, g, fr, fg = disc_forward(disc_p, y, y_hat)
+            (r, g, fr, fg), sn2 = disc_forward(disc_params, sn1, y, y_hat)
             adv = generator_adv_loss(g)
             fm = feature_loss(fr, fg)
             y_hat_mel = mel_spectrogram_hifigan(y_hat, f_max=f_max_loss, **mel_kw)
