@@ -22,6 +22,91 @@ SR = 22050
 # tiny phone inventory drawn from the real symbol table
 PHONES = ["a", "i", "u", "e", "o", "k", "s", "t", "n", "m"]
 
+# vocal-style phone spectra: vowel/nasal formants (center Hz, relative gain)
+# for the glottal-pulse source model (same machinery as the F0 fixture,
+# scripts/make_vocal_fixture.py)
+_FORMANTS = {
+    "a": [(800, 1.0), (1200, 0.5), (2500, 0.25)],
+    "i": [(300, 1.0), (2300, 0.5), (3000, 0.3)],
+    "u": [(350, 1.0), (800, 0.6), (2250, 0.25)],
+    "e": [(500, 1.0), (1800, 0.5), (2500, 0.3)],
+    "o": [(450, 1.0), (900, 0.6), (2400, 0.25)],
+    "n": [(250, 1.0), (1000, 0.35), (2200, 0.2)],
+    "m": [(250, 1.0), (900, 0.3), (2100, 0.2)],
+}
+
+
+def _formant_gain(freq_hz, formants):
+    """Sum of Gaussian resonance bumps + spectral tilt."""
+    g = 0.05
+    for fc, amp in formants:
+        g = g + amp * np.exp(-0.5 * ((freq_hz - fc) / (0.12 * fc + 60.0)) ** 2)
+    return g * (1.0 / (1.0 + freq_hz / 3000.0))
+
+
+def _vocal_phone(rng, phone, n, f0):
+    """One phone of speech-like audio: glottal harmonic source shaped by
+    formant envelopes (+ aspiration) for vowels/nasals, shaped noise for
+    fricatives, closure+burst for stops. f0: per-sample contour (len n)."""
+    tt = np.arange(n) / SR
+    if phone == "s":
+        noise = rng.normal(size=n)
+        return 0.10 * (noise - np.concatenate([[0.0], noise[:-1]]))  # HF tilt
+    if phone in ("k", "t"):
+        out = np.zeros(n)
+        closure = min(int(0.015 * SR), n)
+        burst = min(int(0.025 * SR), n - closure)
+        out[closure:closure + burst] = 0.15 * rng.normal(size=burst) * \
+            np.linspace(1.0, 0.2, burst)
+        return out
+    formants = _FORMANTS[phone]
+    amp0 = 0.8 if phone in ("n", "m") else 1.0
+    phase0 = 2 * np.pi * np.cumsum(f0) / SR
+    f0_mean = float(np.mean(f0))
+    seg = np.zeros(n)
+    h = 1
+    while h * f0_mean < 4500.0:
+        amp = _formant_gain(h * f0_mean, formants) / np.sqrt(h)
+        seg += amp * np.sin(h * phase0 + 0.07 * h * h)
+        h += 1
+    seg += 0.004 * rng.normal(size=n)  # aspiration
+    peak = np.max(np.abs(seg)) or 1.0
+    return amp0 * 0.35 * seg / peak
+
+
+def synth_utterance_vocal(rng, f0_base, n_phones=8):
+    """Speech-like utterance: glottal-pulse + formant phones, F0 declination
+    with vibrato and per-phone accents. Unlike the line-spectral tone corpus
+    (synth_utterance), its mels have smooth spectral envelopes, so MCD values
+    land on the interpretable natural-speech dB scale (tests/test_mcd_gate)."""
+    phones, intervals = [], []
+    t = 0.15
+    segs = [np.zeros(int(t * SR))]
+    intervals.append(Interval(0.0, t, "sil"))
+    for i in range(n_phones):
+        p = PHONES[rng.integers(0, len(PHONES))]
+        dur = float(rng.uniform(0.06, 0.18))
+        n = int(dur * SR)
+        # declination 1.1 -> 0.9 across the utterance, per-phone accent,
+        # 5 Hz vibrato
+        decl = 1.1 - 0.2 * (i / max(n_phones - 1, 1))
+        accent = float(rng.uniform(0.94, 1.08))
+        tt = np.arange(n) / SR
+        f0 = f0_base * decl * accent * (1.0 + 0.015 * np.sin(2 * np.pi * 5.0 * tt))
+        seg = _vocal_phone(rng, p, n, f0)
+        fade = min(128, max(n // 4, 1))
+        seg[:fade] *= np.linspace(0, 1, fade)
+        seg[-fade:] *= np.linspace(1, 0, fade)
+        segs.append(seg)
+        phones.append(p)
+        intervals.append(Interval(t, t + dur, p))
+        t += dur
+    tail = 0.12
+    segs.append(np.zeros(int(tail * SR)))
+    intervals.append(Interval(t, t + tail, "sil"))
+    wav = np.concatenate(segs).astype(np.float32)
+    return wav, phones, intervals, t + tail
+
 
 def synth_utterance(rng, f0_base, n_phones=8):
     """Voiced tone with per-phone F0/amplitude steps + silence padding."""
@@ -57,9 +142,14 @@ def synth_utterance(rng, f0_base, n_phones=8):
 
 
 def make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3, seed=0,
-                          dataset="SYNTH", languages=("ja",), speaker_prefix="spk"):
+                          dataset="SYNTH", languages=("ja",), speaker_prefix="spk",
+                          style="tone"):
     """Create raw_data/<spk>/*.{wav,lab} + preprocessed_data TextGrids +
-    accent files + speakers.json. Returns (raw_dir, preprocessed_dir, config)."""
+    accent files + speakers.json. Returns (raw_dir, preprocessed_dir, config).
+
+    style: "tone" (fast line-spectral harmonics — most tests) or "vocal"
+    (glottal-pulse + formant speech, smooth spectral envelopes — the MCD
+    gate's natural-dB-scale corpus)."""
     rng = np.random.default_rng(seed)
     raw = os.path.join(root, "raw_data", dataset)
     pre = os.path.join(root, "preprocessed_data", dataset)
@@ -78,7 +168,8 @@ def make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3, seed=0,
         f0_base = 120.0 if gender == "M" else 210.0
         for u in range(utts_per_speaker):
             base = f"{spk}_utt{u:02d}"
-            wav, phones, intervals, total = synth_utterance(rng, f0_base)
+            synth = synth_utterance_vocal if style == "vocal" else synth_utterance
+            wav, phones, intervals, total = synth(rng, f0_base)
             write_wav(os.path.join(spk_raw, base + ".wav"), wav, SR)
             with open(os.path.join(spk_raw, base + ".lab"), "w") as f:
                 f.write(" ".join(phones) + "\n")
@@ -191,14 +282,15 @@ def make_config_dir(root, pre_dir, tmp, *, dataset="SYNTH", batch_size=2,
 
 
 def build_synthetic_experiment_dir(tmp, *, n_speakers=2, utts_per_speaker=6,
-                                   seed=0, **config_kwargs):
+                                   seed=0, style="tone", **config_kwargs):
     """Corpus + preprocess + config dir in one call. Returns cfg_dir."""
     import shutil
 
     from ..cli.preprocess import main as preprocess_main
 
     raw, pre, _ = make_synthetic_corpus(
-        tmp, n_speakers=n_speakers, utts_per_speaker=utts_per_speaker, seed=seed
+        tmp, n_speakers=n_speakers, utts_per_speaker=utts_per_speaker, seed=seed,
+        style=style,
     )
     cfg_dir = make_config_dir(tmp, pre, tmp, **config_kwargs)
     preprocess_main(["--config", cfg_dir])

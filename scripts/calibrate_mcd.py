@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--every", type=int, default=500)
     ap.add_argument("--n_speakers", type=int, default=2)
     ap.add_argument("--utts", type=int, default=10)
+    ap.add_argument("--style", type=str, default="tone",
+                    choices=["tone", "vocal"],
+                    help="vocal = glottal-pulse formant speech: MCD lands on "
+                         "the interpretable natural-speech dB scale")
     args = ap.parse_args()
 
     from masg_tpu.core.config import load_config_dir
@@ -59,6 +63,7 @@ def main():
     tmp = tempfile.mkdtemp()
     cfg_dir = build_synthetic_experiment_dir(
         tmp, n_speakers=args.n_speakers, utts_per_speaker=args.utts,
+        style=args.style,
         batch_size=8, group_size=1, total_step=args.steps,
         log_step=args.every, val_step=10**9,
         synth_step=10**9, save_step=10**9, warm_up_step=100)

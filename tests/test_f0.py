@@ -145,10 +145,16 @@ def test_vocal_fixture_native_matches_numpy():
 # ---------------------------------------------------------------------------
 
 def synth_vocal(f0_of_t, seconds, jitter=0.0, shimmer=0.0, seed=0,
-                max_harm_hz=4500.0):
+                max_harm_hz=4500.0, aspiration=0.004, subharm=0.0,
+                formants=None):
     """Harmonic glottal-style source with formant shaping and optional
     cycle-rate jitter/shimmer (the creaky-voice approximation). Returns
-    (signal, per-frame true F0 at the pyworld frame convention)."""
+    (signal, per-frame true F0 at the pyworld frame convention).
+
+    aspiration: additive noise amplitude relative to the unit-peak harmonic
+    stack (breathy voice = high aperiodicity). subharm: depth of an f0/2
+    amplitude modulation (period-doubling phonation) injecting subharmonic
+    sidebands a halving-biased tracker locks onto."""
     rng = np.random.default_rng(seed)
     n = int(seconds * SR)
     t = np.arange(n) / SR
@@ -160,7 +166,7 @@ def synth_vocal(f0_of_t, seconds, jitter=0.0, shimmer=0.0, seed=0,
         f0 = f0 * (1.0 + jitter * mod)
     phase = 2 * np.pi * np.cumsum(f0) / SR
     f0_mean = float(np.mean(f0))
-    formants = [(600, 1.0), (1400, 0.5), (2600, 0.25)]
+    formants = formants or [(600, 1.0), (1400, 0.5), (2600, 0.25)]
 
     def gain(freq):
         g = 0.05
@@ -178,7 +184,9 @@ def synth_vocal(f0_of_t, seconds, jitter=0.0, shimmer=0.0, seed=0,
         amp_mod = 1.0 + shimmer * np.interp(np.arange(n),
                                             np.arange(len(m)) * 256, m)
         sig *= amp_mod
-    sig += 0.004 * rng.normal(size=n)
+    if subharm:
+        sig *= 1.0 + subharm * np.sin(phase / 2.0)  # alternate-cycle modulation
+    sig += aspiration * rng.normal(size=n)
     sig = 0.35 * sig / np.max(np.abs(sig))
 
     n_frames = int(n / SR * 1000.0 / FRAME_PERIOD) + 1
@@ -236,6 +244,80 @@ def test_octave_jump_tracked():
         err = np.abs(est[sl][voiced] - true[sl][voiced]) / true[sl][voiced]
         assert np.median(err) < 0.03, (sl, np.median(err))
     assert _octave_error_rate(est, true) < 0.02
+
+
+def test_breathy_voice_high_aperiodicity():
+    """Breathy phonation (aspiration at ~9 dB SNR vs the harmonic stack):
+    DIO's zero-crossing candidates get noise-split cycles here — exactly what
+    shifts stats.json on real breathy corpora. Voiced frames must still
+    track to <4% median error with zero octave errors."""
+    sig, true = synth_vocal(lambda t: 150.0 + 30.0 * t / t[-1], 1.4,
+                            aspiration=0.12, seed=6)
+    est = extract_f0(sig, SR, FRAME_PERIOD, use_native=False)
+    med, octave_rate = _accuracy(est, true)
+    assert med < 0.04, med
+    assert octave_rate == 0.0, octave_rate
+    # breathiness must not gut voicing detection
+    assert (est > 0).sum() > 0.6 * (true > 0).sum()
+
+
+# formant layout whose first resonance sits near the fundamental, so F0
+# energy is strong (a normal modal voice); contrast with the default layout
+# whose 600 Hz F1 makes the 3rd harmonic dominant (see the harmonic-lock
+# canary below)
+_STRONG_FUND = [(300, 1.0), (1400, 0.4), (2600, 0.2)]
+
+
+@pytest.mark.parametrize("snr_db", [6.0, 3.0])
+def test_low_snr_no_octave_errors(snr_db):
+    """Additive white noise down to 3 dB SNR: with the fundamental present,
+    candidates from the noise-dominated bands must be outvoted — median
+    error stays <2% with zero octave errors (measured 0.6%/0.9%)."""
+    rng = np.random.default_rng(11)
+    sig, true = synth_vocal(lambda t: 0 * t + 200.0, 1.2, seed=7,
+                            formants=_STRONG_FUND)
+    noise = rng.normal(size=len(sig))
+    snr = 10 ** (snr_db / 20.0)
+    sig = sig + noise * np.sqrt(np.mean(sig ** 2)) / snr
+    est = extract_f0(sig, SR, FRAME_PERIOD, use_native=False)
+    med, octave_rate = _accuracy(est, true)
+    assert med < 0.02, med
+    assert octave_rate == 0.0, octave_rate
+    assert (est > 0).sum() == (true > 0).sum()
+
+
+def test_weak_fundamental_low_snr_harmonic_lock_canary():
+    """KNOWN LIMIT (documented in COMPONENTS.md): when F1 sits on a high
+    harmonic (default formants: 600 Hz F1 makes H3 ~12 dB above the 200 Hz
+    fundamental) AND broadband noise drowns the fundamental band, the
+    band-candidate selection locks onto the dominant harmonic — the same
+    candidate-selection failure family as WORLD's DIO, and beyond
+    StoneMask's +-20% repair radius. This canary pins the failure SHAPE:
+    the output must be either accurate (a future tracker improvement) or a
+    stable harmonic lock — never unstructured noise, which is what would
+    silently corrupt stats.json beyond recognition."""
+    rng = np.random.default_rng(11)
+    sig, true = synth_vocal(lambda t: 0 * t + 200.0, 1.2, seed=7)
+    sig = sig + rng.normal(size=len(sig)) * np.sqrt(np.mean(sig ** 2)) / \
+        10 ** (9.0 / 20.0)
+    est = extract_f0(sig, SR, FRAME_PERIOD, use_native=False)
+    voiced = (true > 0) & (est > 0)
+    ratio = est[voiced] / true[voiced]
+    accurate = np.abs(ratio - 1.0) < 0.04
+    harmonic_locked = (np.abs(ratio - 2.0) < 0.15) | (np.abs(ratio - 3.0) < 0.2)
+    structured = np.mean(accurate | harmonic_locked)
+    assert structured > 0.9, (structured, np.quantile(ratio, [0.1, 0.5, 0.9]))
+
+
+def test_subharmonic_voice_not_halved():
+    """Period-doubling phonation (30% alternate-cycle amplitude modulation
+    injects f0/2 sidebands): a halving-biased tracker reports f0/2 for the
+    whole vowel. The perceived/true pitch stays f0."""
+    sig, true = synth_vocal(lambda t: 0 * t + 180.0, 1.4, subharm=0.3, seed=8)
+    est = extract_f0(sig, SR, FRAME_PERIOD, use_native=False)
+    med, octave_rate = _accuracy(est, true)
+    assert med < 0.04, med
+    assert octave_rate < 0.05, octave_rate
 
 
 def test_f0_battery_native_matches_numpy():
