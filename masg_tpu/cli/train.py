@@ -26,6 +26,11 @@ def main(argv=None):
                         help="stop after N steps this invocation (smoke runs)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    parser.add_argument("--param_storage", default="f32",
+                        choices=["f32", "bf16", "bf16_moments"],
+                        help="bf16 stores parameters (and optionally Adam "
+                             "moments) in bfloat16 with an f32 master copy — "
+                             "halves the HBM-bound step's parameter traffic")
     parser.add_argument("--n_devices", type=int, default=None,
                         help="cap the device mesh to the first N devices (default all)")
     parser.add_argument("--n_model", type=int, default=1,
@@ -68,6 +73,7 @@ def main(argv=None):
         n_model=args.n_model,
         use_flash=args.flash,
         rng_impl=args.rng_impl,
+        param_storage=args.param_storage,
     )
     print(f"mesh: {dict(trainer.mesh.shape)}")
     n_params = sum(

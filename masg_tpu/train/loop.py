@@ -446,6 +446,7 @@ def build_experiment(
     use_flash: bool = False,
     val_split: str = "val.txt",
     rng_impl: str = "rbg",
+    param_storage: str = "f32",
 ):
     """Datasets + model + optimizer + Trainer from a config dir
     (the CLI composition root; reference train.py:30-105).
@@ -516,7 +517,16 @@ def build_experiment(
     # compat so update dynamics match torch's nn.LSTM/LSTMCell exactly.
     tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden,
                         clip_subtree="model" if ganlike else None,
-                        torch_lstm_bias_compat=ganlike or cfg.model.jdit.use_jdit)
+                        torch_lstm_bias_compat=ganlike or cfg.model.jdit.use_jdit,
+                        param_storage=param_storage)
+    if param_storage in ("bf16", "bf16_moments"):
+        # bf16 parameter storage: the fwd/bwd passes read half the bytes;
+        # the f32 master lives in the optimizer state (optim.with_master_params)
+        variables = dict(variables)
+        variables["params"] = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            variables["params"])
 
     discriminator = discriminator_params = None
     if use_clf or ganlike:

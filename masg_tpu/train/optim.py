@@ -60,34 +60,47 @@ class ScaleByAdamTorchState(NamedTuple):
 
 
 def scale_by_adam_torch(
-    b1: float = 0.9, b2: float = 0.98, eps: float = 1e-9
+    b1: float = 0.9, b2: float = 0.98, eps: float = 1e-9, moment_dtype=None
 ) -> optax.GradientTransformation:
     """torch.optim.Adam's exact update math (single-tensor path):
       m <- b1*m + (1-b1)*g;  v <- b2*v + (1-b2)*g^2
       update = (m / (1-b1^t)) / (sqrt(v)/sqrt(1-b2^t) + eps)
     with bias corrections from `_pow_int` (see module docstring) and eps
     OUTSIDE the sqrt, after the bias-corrected denominator — torch's
-    placement, which optax matches only up to its sloppy pow."""
+    placement, which optax matches only up to its sloppy pow.
+
+    moment_dtype (e.g. jnp.bfloat16) stores mu/nu quantized to halve the
+    optimizer's HBM traffic; the moment math still runs in the gradient
+    dtype. None (default) keeps the exact torch semantics."""
+
+    def _store(x, like):
+        return x.astype(moment_dtype) if moment_dtype is not None else x
 
     def init_fn(params):
+        zeros = (lambda p: jnp.zeros(p.shape, moment_dtype)
+                 if moment_dtype is not None else jnp.zeros_like(p))
         return ScaleByAdamTorchState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(jnp.zeros_like, params),
-            nu=jax.tree.map(jnp.zeros_like, params),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
         )
 
     def update_fn(updates, state, params=None):
         del params
-        mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g, updates, state.mu)
-        nu = jax.tree.map(lambda g, v: b2 * v + (1 - b2) * (g * g), updates, state.nu)
+        mu = jax.tree.map(
+            lambda g, m: _store(b1 * m.astype(g.dtype) + (1 - b1) * g, g),
+            updates, state.mu)
+        nu = jax.tree.map(
+            lambda g, v: _store(b2 * v.astype(g.dtype) + (1 - b2) * (g * g), g),
+            updates, state.nu)
         count = state.count + 1
         bc1 = 1 - _pow_int(b1, count)
         bc2_sqrt = jnp.sqrt(1 - _pow_int(b2, count))
         new_updates = jax.tree.map(
-            lambda m, v: (m / bc1.astype(m.dtype))
-            / (jnp.sqrt(v) / bc2_sqrt.astype(v.dtype) + eps),
-            mu,
-            nu,
+            lambda g, m, v: ((m.astype(g.dtype) / bc1.astype(g.dtype))
+                             / (jnp.sqrt(v.astype(g.dtype))
+                                / bc2_sqrt.astype(g.dtype) + eps)),
+            updates, mu, nu,
         )
         return new_updates, ScaleByAdamTorchState(count=count, mu=mu, nu=nu)
 
@@ -209,6 +222,54 @@ def double_lstm_bias_updates() -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class MasterParamsState(NamedTuple):
+    master: Any  # float32 master copy of the (bfloat16-stored) params
+    inner: Any
+
+
+def with_master_params(
+    inner: optax.GradientTransformation,
+) -> optax.GradientTransformation:
+    """bf16 parameter storage with an f32 master copy (mixed precision).
+
+    The train step is HBM-bandwidth-bound (BASELINE.md: 105.9 FLOP/byte vs
+    the ~240 v5e ridge point), so halving the bytes the fwd/bwd passes read
+    for parameters is the lever — params live in bfloat16 in the train state
+    while the optimizer chain (clip -> Adam -> lr) runs on a float32 master
+    kept in this wrapper's state, exactly as it would in pure-f32 training:
+
+      g_f32 = f32(grads);  master += inner(g_f32)
+      emitted update u = master_new - f32(params)
+
+    optax.apply_updates casts (params + u) back to the params' dtype, so the
+    new stored params are bf16(master_new) (up to one f32 rounding). Only
+    float leaves are cast; integer leaves pass through.
+    """
+
+    def _f32(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    def init_fn(params):
+        master = _f32(params)
+        return MasterParamsState(master=master, inner=inner.init(master))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("with_master_params requires params")
+        g32 = _f32(updates)
+        inner_updates, inner_state = inner.update(g32, state.inner, state.master)
+        master = optax.apply_updates(state.master, inner_updates)
+        out = jax.tree.map(
+            lambda m, p: m - p.astype(m.dtype) if jnp.issubdtype(
+                p.dtype, jnp.floating) else jnp.zeros_like(p),
+            master, params)
+        return out, MasterParamsState(master=master, inner=inner_state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def noam_schedule(
     d_model: int,
     warm_up_step: int,
@@ -233,8 +294,14 @@ def noam_schedule(
 
 def make_optimizer(
     opt_cfg: OptimizerConfig, d_model: int, clip_subtree: str = None,
-    torch_lstm_bias_compat: bool = False,
+    torch_lstm_bias_compat: bool = False, param_storage: str = "f32",
 ) -> optax.GradientTransformation:
+    """param_storage: "f32" (default, torch-exact), "bf16" (bf16 params +
+    f32 master copy + f32 moments — see with_master_params), or
+    "bf16_moments" (bf16 params AND bf16 Adam moments: least HBM traffic).
+    With grad accumulation, MultiSteps accumulates in the gradient dtype, so
+    bf16 storage + grad_acc trades a little accumulation precision too."""
+    moment_dtype = jnp.bfloat16 if param_storage == "bf16_moments" else None
     sched = noam_schedule(
         d_model, opt_cfg.warm_up_step, opt_cfg.anneal_steps, opt_cfg.anneal_rate
     )
@@ -252,7 +319,8 @@ def make_optimizer(
         if opt_cfg.weight_decay
         else optax.identity(),
         scale_by_adam_torch(
-            b1=opt_cfg.betas[0], b2=opt_cfg.betas[1], eps=opt_cfg.eps
+            b1=opt_cfg.betas[0], b2=opt_cfg.betas[1], eps=opt_cfg.eps,
+            moment_dtype=moment_dtype,
         ),
         # ganlike only: the discriminator's LSTM biases (see docstring)
         double_lstm_bias_updates()
@@ -260,6 +328,8 @@ def make_optimizer(
         else optax.identity(),
         optax.scale_by_learning_rate(sched),
     )
+    if param_storage in ("bf16", "bf16_moments"):
+        tx = with_master_params(tx)
     if opt_cfg.grad_acc_step > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=opt_cfg.grad_acc_step)
     return tx

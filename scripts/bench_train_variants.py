@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def measure(cfg, example_inputs, dtype, n_steps=20, use_flash=False, B=16, T=896):
+def measure(cfg, example_inputs, dtype, n_steps=20, use_flash=False, B=16, T=896,
+            param_storage="f32"):
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +44,14 @@ def measure(cfg, example_inputs, dtype, n_steps=20, use_flash=False, B=16, T=896
         e_targets=batch["energies"], d_targets=batch["durations"],
         accents=batch["accents"], speaker_meta=batch["speaker_meta"],
     )
-    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden,
+                        param_storage=param_storage)
+    if param_storage != "f32":
+        variables = dict(variables)
+        variables["params"] = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            variables["params"])
     state = create_train_state(model, variables, tx)
     step_fn = make_train_step(model, rng_impl="rbg")
 
@@ -104,33 +112,39 @@ def main():
     dtypes = [("bf16", jnp.bfloat16)] + ([("f32", jnp.float32)] if args.f32 else [])
 
     variants = {
-        "base": (None, False),
+        "base": (None, False, "f32"),
         # flax nn.remat static_argnums count `self` as 0: deterministic is 4
-        "remat": (nn.remat(FFTBlock, static_argnums=(4,)), False),
+        "remat": (nn.remat(FFTBlock, static_argnums=(4,)), False, "f32"),
         "remat_dots": (nn.remat(
             FFTBlock,
             static_argnums=(4,),
             policy=jax.checkpoint_policies.dots_saveable,
-        ), False),
+        ), False, "f32"),
         # Pallas flash fwd + custom-VJP Pallas bwd: no (T, T) in HBM either way
-        "flash": (None, True),
+        "flash": (None, True, "f32"),
+        # bf16 parameter storage (+ f32 master in opt state); the HBM-bound
+        # step reads half the parameter bytes in fwd/bwd
+        "bf16_params": (None, False, "bf16"),
+        # ... and bf16 Adam moments too (least optimizer traffic)
+        "bf16_params_moments": (None, False, "bf16_moments"),
     }
 
     orig = enc_mod.FFTBlock
     for name, dtype in dtypes:
-        for vname, (cls, use_flash) in variants.items():
+        for vname, (cls, use_flash, pstore) in variants.items():
             if args.only and vname != args.only:
                 continue
             enc_mod.FFTBlock = orig if cls is None else cls
             try:
                 sps, gflops, hbm = measure(cfg, _example_inputs, dtype,
-                                           use_flash=use_flash, B=args.B, T=args.T)
+                                           use_flash=use_flash, B=args.B, T=args.T,
+                                           param_storage=pstore)
                 intensity = (gflops / hbm) if (gflops and hbm) else None
                 print(
-                    f"{name} {vname:12s}: {sps:6.2f} steps/s"
+                    f"{name} {vname:20s}: {sps:6.2f} steps/s"
                     f"  flops={gflops:7.1f} GF  hbm={hbm:6.2f} GB"
                     f"  intensity={intensity:6.1f}"
-                    if gflops else f"{name} {vname:12s}: {sps:6.2f} steps/s",
+                    if gflops else f"{name} {vname:20s}: {sps:6.2f} steps/s",
                     flush=True,
                 )
             finally:

@@ -227,6 +227,81 @@ def test_bf16_train_step_matches_f32():
     assert abs(bf16 - f32) / abs(f32) < 0.25, (f32, bf16)
 
 
+@pytest.mark.parametrize("storage", ["bf16", "bf16_moments"])
+def test_bf16_param_storage_matches_f32(storage):
+    """--param_storage bf16[: the HBM-traffic recipe] — params stored
+    bfloat16 with an f32 master copy (optim.with_master_params): params stay
+    bf16 across updates, the master stays f32, and a short overfit run
+    tracks the f32 trajectory within mixed-precision noise."""
+    from masg_tpu.train.optim import MasterParamsState
+
+    cfg = tiny_config()
+    cfg.train.optimizer.warm_up_step = 50
+    rng = np.random.default_rng(0)
+    b = make_batch(rng)
+
+    def run(param_storage, steps=30):
+        model = FastSpeech2.from_config(
+            cfg, dtype=jnp.bfloat16 if param_storage != "f32" else jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            b["speakers"], b["texts"], b["src_lens"], b["max_mel_len"],
+            mel_lens=b["mel_lens"], p_targets=b["p_targets"],
+            e_targets=b["e_targets"], d_targets=b["d_targets"],
+            accents=b["accents"], speaker_meta=b["speaker_meta"],
+        )
+        tx = make_optimizer(cfg.train.optimizer,
+                            cfg.model.transformer.encoder_hidden,
+                            param_storage=param_storage)
+        if param_storage != "f32":
+            variables = dict(variables)
+            variables["params"] = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), variables["params"])
+        state = create_train_state(model, variables, tx)
+        step_fn = jax.jit(make_train_step(model))
+        eval_fn = jax.jit(make_eval_step(model))
+        key = jax.random.PRNGKey(0)
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, to_step_batch(b), sub)
+        after, _, _ = eval_fn(state, to_step_batch(b))
+        return float(after.total), state
+
+    f32, _ = run("f32")
+    bf16, state = run(storage)
+    assert np.isfinite(bf16)
+    # params stayed bf16 through 30 optimizer updates
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    # the master copy is f32 and within one bf16 ulp of the stored params
+    ms = state.opt_state
+    while not isinstance(ms, MasterParamsState):
+        ms = ms.inner_opt_state if hasattr(ms, "inner_opt_state") else ms[0]
+    m0 = jax.tree_util.tree_leaves(ms.master)[0]
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    assert m0.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(p0, np.float32), np.asarray(m0),
+                               rtol=1e-2)
+    # moments stored per the mode
+    want = jnp.bfloat16 if storage == "bf16_moments" else jnp.float32
+    from masg_tpu.train.optim import ScaleByAdamTorchState
+
+    def find_adam(s):
+        if isinstance(s, ScaleByAdamTorchState):
+            return s
+        if isinstance(s, (tuple, list)):
+            for x in s:
+                r = find_adam(x)
+                if r is not None:
+                    return r
+        return None
+    adam_state = find_adam(ms.inner)
+    assert adam_state is not None
+    assert jax.tree_util.tree_leaves(adam_state.mu)[0].dtype == want
+    # same trajectory within mixed-precision noise
+    assert abs(bf16 - f32) / abs(f32) < 0.25, (f32, bf16)
+
+
 def test_rng_impl_rbg_step():
     """rng_impl='rbg' (the production trainer default, train/loop.py) accepts
     raw key DATA and typed keys, runs finite, and changes only the dropout
