@@ -82,6 +82,9 @@ def main(argv=None):
                         default="{k o N n i ch i w a sp m i n a s a N}")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_vocoder", action="store_true")
+    parser.add_argument("--vocoder_checkpoint", type=str, default=None,
+                        help="HiFi-GAN generator ckpt (torch 'generator' "
+                             "state_dict or our flax .msgpack export)")
     parser.add_argument("--duration_control", type=float, default=1.0)
     args = parser.parse_args(argv)
 
@@ -101,7 +104,8 @@ def main(argv=None):
     if args.restore_step == 0:
         print("WARNING: --restore_step 0 synthesizes with RANDOM weights")
     model, variables = load_model(cfg, args.restore_step)
-    vocoder = None if args.no_vocoder else get_vocoder(cfg.model, cfg.config_dir)
+    vocoder = None if args.no_vocoder else get_vocoder(
+        cfg.model, cfg.config_dir, checkpoint=args.vocoder_checkpoint)
     gmm = load_distribution(args.distribution)
     os.makedirs(args.output_path, exist_ok=True)
 

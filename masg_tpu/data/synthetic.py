@@ -282,7 +282,8 @@ def make_config_dir(root, pre_dir, tmp, *, dataset="SYNTH", batch_size=2,
 
 
 def build_synthetic_experiment_dir(tmp, *, n_speakers=2, utts_per_speaker=6,
-                                   seed=0, style="tone", **config_kwargs):
+                                   seed=0, style="tone", languages=("ja",),
+                                   **config_kwargs):
     """Corpus + preprocess + config dir in one call. Returns cfg_dir."""
     import shutil
 
@@ -290,7 +291,7 @@ def build_synthetic_experiment_dir(tmp, *, n_speakers=2, utts_per_speaker=6,
 
     raw, pre, _ = make_synthetic_corpus(
         tmp, n_speakers=n_speakers, utts_per_speaker=utts_per_speaker, seed=seed,
-        style=style,
+        style=style, languages=languages,
     )
     cfg_dir = make_config_dir(tmp, pre, tmp, **config_kwargs)
     preprocess_main(["--config", cfg_dir])
