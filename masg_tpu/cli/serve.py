@@ -277,9 +277,15 @@ def main(argv=None):
     parser.add_argument("--no_vocoder", action="store_true",
                         help="serve mels only (skip HiFi-GAN)")
     parser.add_argument("--vocoder_checkpoint", default=None)
-    parser.add_argument("--dynamic_batch", type=int, default=1,
+    parser.add_argument("--dynamic_batch", type=int, default=16,
                         help=">1: fuse concurrent requests into one batched "
-                             "device dispatch (DynamicBatcher)")
+                             "device dispatch (DynamicBatcher). Default 16 "
+                             "from the measured sweep (BASELINE.md): 8.0 / "
+                             "34.1 / 37.4 / 46.8 req/s at 1/8/16/32 under "
+                             "64 concurrent mixed-length clients — raise to "
+                             "32 for saturated-throughput serving, 1 to "
+                             "disable batching (lone requests dispatch solo "
+                             "after --batch_window_ms either way)")
     parser.add_argument("--batch_window_ms", type=float, default=5.0,
                         help="arrival window for request fusion")
     parser.add_argument("--lexicon", default=None,

@@ -109,6 +109,13 @@ class ServingEngine:
         self.variables = variables if variables is not None else loaded
         self.mesh = mesh
         self._voc_params = vocoder.params if vocoder is not None else {}
+        if vocoder is not None and dtype == jnp.bfloat16:
+            # the fused graph feeds the bf16 postnet mel straight into the
+            # vocoder convs; f32 kernels would dtype-mismatch in lax.conv
+            self._voc_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                self._voc_params)
         if mesh is not None:
             from ..parallel.mesh import replicate
 
