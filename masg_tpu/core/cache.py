@@ -5,14 +5,17 @@ enabling jax's persistent cache makes second runs of every CLI start in
 seconds. Called by all CLI entry points; opt out with MASG_NO_COMPILE_CACHE=1
 or redirect with MASG_COMPILE_CACHE_DIR.
 
-XLA:CPU is excluded by default: its cache entries are AOT machine code
-compiled for the exact CPU feature set XLA detected on the *compiling* host
-(including XLA-internal target-feature choices like +prefer-no-gather that no
-/proc/cpuinfo fingerprint captures), so entries written on one machine
-feature-mismatch — and have SIGSEGV'd — when loaded on another. The cache
-exists for TPU compile times; CPU runs always compile fresh unless
-MASG_CPU_COMPILE_CACHE=1 opts in for a guaranteed-same-machine workflow
-(e.g. repeated local test runs).
+XLA:CPU is excluded unconditionally: its cache entries are AOT machine code
+stamped with the compile-time LLVM target features, and the loader
+(cpu_aot_loader.cc:210) compares that list against the *detected host CPU
+features* — which never include XLA's own tuning pseudo-features
+(+prefer-no-gather/+prefer-no-scatter). Measured on this image (jax 0.9.0):
+a SAME-MACHINE write→read round-trip fails the check, logs the
+feature-mismatch error, and recompiles from scratch, so a CPU persistent
+cache is pure overhead (and cross-machine loads have SIGSEGV'd). There is no
+jax-level off switch for the AOT payload (jax_persistent_cache_enable_xla_caches
+governs auxiliary caches only — verified ineffective here), hence: the cache
+exists for TPU compile times, CPU always compiles fresh, no opt-in.
 """
 
 from __future__ import annotations
@@ -35,16 +38,11 @@ def _cpu_platform_selected() -> bool:
 def enable_compilation_cache() -> None:
     if os.environ.get("MASG_NO_COMPILE_CACHE") == "1":
         return
-    if (_cpu_platform_selected()
-            and os.environ.get("MASG_CPU_COMPILE_CACHE") != "1"):
-        return  # see module docstring: CPU AOT entries are host-specific
+    if _cpu_platform_selected():
+        return  # see module docstring: XLA:CPU AOT entries never load back
     import jax
 
     cache_dir = os.environ.get("MASG_COMPILE_CACHE_DIR", DEFAULT_DIR)
-    if _cpu_platform_selected():
-        # opt-in CPU cache: keep CPU entries out of the shared TPU dir so a
-        # later TPU run never scans them
-        cache_dir = os.path.join(cache_dir, "cpu")
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -22,10 +22,10 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent XLA compile cache. On the CPU backend this is a no-op unless
-# MASG_CPU_COMPILE_CACHE=1: XLA:CPU cache entries are host-specific AOT code
-# (foreign entries feature-mismatch and have SIGSEGV'd), so cross-run caching
-# is opt-in for same-machine iteration only — see masg_tpu/core/cache.py.
+# Persistent XLA compile cache. On the CPU backend this is a no-op: XLA:CPU
+# cache entries are AOT code whose feature check fails even on a same-machine
+# round-trip (measured; see masg_tpu/core/cache.py), so tests always compile
+# fresh.
 from masg_tpu.core.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
