@@ -73,7 +73,10 @@ def main(argv=None):
             # mirror build_experiment's nested ganlike state (train/loop.py)
             from ..models.speaker_encoder import SpeechEmbedder
 
-            disc = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels)
+            # fresh-init discriminator dims come from model.yaml, exactly
+            # like build_experiment's no-discriminator_path branch
+            disc = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels,
+                                  hidden=cfg.model.discriminator.hidden)
             disc_params = disc.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((2, 150, cfg.preprocess.mel.n_mel_channels)),
@@ -155,9 +158,18 @@ def main(argv=None):
         if "discriminator" not in raw:
             raise SystemExit("--ganlike given but the checkpoint has no "
                              "'discriminator' entry")
-        disc = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels)
         disc_sd = {k: v.numpy() if hasattr(v, "numpy") else v
                    for k, v in raw["discriminator"].items()}
+        # the checkpoint defines the discriminator dims (same rule as
+        # build_experiment's discriminator_path branch): projection weight
+        # is (proj, hidden) in torch layout
+        proj_w = disc_sd["projection.linear_layer.weight"]
+        n_layers = sum(1 for k in disc_sd
+                       if k.startswith("LSTM_stack.weight_hh_l"))
+        disc = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels,
+                              hidden=int(proj_w.shape[1]),
+                              proj=int(proj_w.shape[0]),
+                              n_layers=n_layers)
         disc_params = convert_torch_ge2e(disc_sd, disc)
         model, variables = load_model(cfg, restore_step=0)
         tx = make_optimizer(cfg.train.optimizer,

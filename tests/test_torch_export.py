@@ -203,7 +203,8 @@ def test_cli_ganlike_checkpoint_round_trip(tmp_path):
 
     cfg = load_config_dir(cfg_dir)
     model, variables = load_model(cfg, restore_step=0)
-    disc = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels)
+    disc = SpeechEmbedder(n_mels=cfg.preprocess.mel.n_mel_channels,
+                          hidden=cfg.model.discriminator.hidden)
     disc_params = disc.init(jax.random.PRNGKey(0),
                             np.zeros((2, 150, 80), np.float32))["params"]
     tx = make_optimizer(cfg.train.optimizer,
