@@ -59,25 +59,86 @@ def _experiment(tmp, pre, sub, **kwargs):
     return run, cfg_dir
 
 
-def _assert_trajectories_close(got, ref, rtol_first=1e-3, rtol_later=2e-2):
-    """Equivalence with amplification-aware tolerances.
+def _assert_trajectories_close(got, ref, rtol_first=1e-3, rtol_later=1e-2,
+                               n_compare=3):
+    """Equivalence with amplification-aware tolerances (VERDICT r3 item 8).
 
     Changing the mesh only reorders f32 reductions (the gradient psum), so
-    per-step gradients agree to ~1e-7 rel — but Adam's 1/sqrt(v) is chaotic
-    in early training and AMPLIFIES that noise multiplicatively per update:
-    a full-suite run was once observed at 1.4e-2 rel by step 6 (energy loss)
-    on an unlucky batch composition while bit-equal-to-4-decimals on another.
-    Runs are therefore kept to 4 optimizer updates with per-step logging:
-    step 1 — where real sharding bugs live (a missing psum mean shows up at
-    ~1e-1 immediately) — is compared BEFORE any Adam amplification at a tight
-    rtol, and the bounded later steps hold 2e-2 instead of the 5e-2 a
-    6-update run needed."""
+    per-step gradients agree to ~1e-7 rel — proven DIRECTLY by
+    test_dp_mesh_gradients_match_single_device below, which is where the
+    precision regression coverage now lives. Adam's 1/sqrt(v) is chaotic in
+    early training and AMPLIFIES that noise multiplicatively per update (a
+    6-update run was once observed at 1.4e-2 rel by step 6 on an unlucky
+    batch composition), so the loss-trajectory comparison is SHORTENED
+    instead of loosened: the first `n_compare` updates are held to ≤1e-2
+    (step 1 — where real sharding bugs show up at ~1e-1 — at a tight
+    rtol_first, pre-amplification), and steps past the comparison window are
+    only required to be finite."""
     assert set(got) == set(ref), (sorted(got), sorted(ref))
     steps = sorted(ref)
     for i, step in enumerate(steps):
+        if i >= n_compare:
+            assert np.all(np.isfinite(got[step])), (step, got[step])
+            continue
         rtol = rtol_first if i == 0 else rtol_later
         np.testing.assert_allclose(got[step], ref[step], rtol=rtol,
                                    atol=2e-4, err_msg=f"step {step}")
+
+
+def test_dp_mesh_gradients_match_single_device(corpus):
+    """VERDICT r3 item 8: the PRECISE sharding-equivalence check. A mesh
+    change only reorders the f32 gradient psum, so the full gradient tree of
+    one real train batch must agree between 1 device and the 8-device dp mesh
+    to ~1e-4 rel — compared directly, BEFORE any Adam amplification. This is
+    the test that would catch a moderate optimizer/sharding regression the
+    (chaos-bounded) loss-trajectory comparisons cannot hold tight enough to
+    see. Dropout masks are threefry (sharding-invariant random bits), so the
+    two gradient computations are the same math up to reduction order."""
+    import jax
+
+    from masg_tpu.core.config import load_config_dir
+    from masg_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                        shard_params)
+    from masg_tpu.train.loop import batch_to_device, build_experiment
+    from masg_tpu.train.step import make_train_step
+
+    tmp, pre = corpus
+    _, cfg_dir = _experiment(tmp, pre, "gradeq")
+    cfg = load_config_dir(cfg_dir)
+    trainer = build_experiment(cfg, n_devices=1, seed=0)
+    step = make_train_step(
+        trainer.model,
+        pitch_feature_level=cfg.preprocess.pitch.feature,
+        energy_feature_level=cfg.preprocess.energy.feature,
+        use_speaker_prior=cfg.model.multi_speaker,
+    )
+    batch_np = next(iter(trainer.train_loader))[0]
+    batch = batch_to_device(batch_np)
+    rng = jax.random.PRNGKey(0)
+
+    def grads_of(params, batch_stats, b):
+        fn = jax.jit(lambda p, bs, bb: jax.grad(step.loss_fn, has_aux=True)(
+            p, bs, bb, rng, 0.0))
+        g, _ = fn(params, batch_stats, b)
+        return jax.device_get(g)
+
+    g1 = grads_of(trainer.state.params, trainer.state.batch_stats, batch)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    host_params = jax.device_get(trainer.state.params)
+    host_bs = jax.device_get(trainer.state.batch_stats)
+    raw = {k: v for k, v in batch_np.items() if k not in ("ids", "raw_texts")}
+    g8 = grads_of(shard_params(host_params, mesh),
+                  replicate(host_bs, mesh), shard_batch(raw, mesh))
+
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat8 = {jax.tree_util.keystr(p): v
+             for p, v in jax.tree_util.tree_leaves_with_path(g8)}
+    assert len(flat1) == len(flat8) and flat1, (len(flat1), len(flat8))
+    for path, v1 in flat1:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            flat8[key], v1, rtol=1e-4, atol=5e-6, err_msg=key)
 
 
 def test_dp_mesh_matches_single_device(corpus):
@@ -160,19 +221,20 @@ def test_checkpoint_restores_across_topologies(corpus):
     train_main(["-c", cfg1r, "--restore_step", "2", "--max_steps", "2",
                 "--n_devices", "1"])
     got1 = _losses(os.path.join(run1, "out/log/train/log.txt"))
-    # step 3 = one update after restore (tight); step 4 sees the chaotic
-    # f32 amplification documented on _assert_trajectories_close
-    for step, rtol in ((3, 2e-3), (4, 2e-2)):
-        if step in full and step in got1:
-            np.testing.assert_allclose(got1[step], full[step], rtol=rtol,
-                                       atol=2e-4, err_msg=f"1-dev step {step}")
-    assert 4 in got1, got1
+    # step 3 = one update after restore (compared tight, pre-amplification);
+    # step 4 sees the chaotic f32 amplification documented on
+    # _assert_trajectories_close, so it is only required to be finite — the
+    # precision coverage lives in the direct gradient comparison below
+    assert 3 in got1 and 4 in got1, got1
+    np.testing.assert_allclose(got1[3], full[3], rtol=2e-3, atol=2e-4,
+                               err_msg="1-dev step 3")
+    assert np.all(np.isfinite(got1[4])), got1[4]
 
     # mesh8 -> 4x2 (data, model)
     train_main(["-c", cfg1r, "--restore_step", "2", "--max_steps", "2",
                 "--n_model", "2"])
     got_tp = _losses(os.path.join(run1, "out/log/train/log.txt"))
-    for step, rtol in ((3, 5e-3), (4, 2e-2)):
-        if step in full and step in got_tp:
-            np.testing.assert_allclose(got_tp[step], full[step], rtol=rtol,
-                                       atol=5e-4, err_msg=f"4x2 step {step}")
+    assert 3 in got_tp and 4 in got_tp, got_tp
+    np.testing.assert_allclose(got_tp[3], full[3], rtol=5e-3, atol=5e-4,
+                               err_msg="4x2 step 3")
+    assert np.all(np.isfinite(got_tp[4])), got_tp[4]
