@@ -98,13 +98,28 @@ class SynthesisHandler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
-    def _json(self, code: int, payload: dict):
+    def _json(self, code: int, payload: dict, headers: Optional[dict] = None):
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
+
+    def _overload_response(self, e) -> bool:
+        """Map batcher shed exceptions to 503/504. Returns True if handled."""
+        from ..infer.serving import RequestTimeout, ServerOverloaded
+
+        if isinstance(e, ServerOverloaded):
+            self._json(503, {"error": str(e)},
+                       {"Retry-After": str(int(round(e.retry_after_s)))})
+            return True
+        if isinstance(e, RequestTimeout):
+            self._json(504, {"error": str(e)})
+            return True
+        return False
 
     def do_GET(self):
         if self.path == "/health":
@@ -115,6 +130,9 @@ class SynthesisHandler(BaseHTTPRequestHandler):
                 "sample_rate": e.sample_rate,
                 "requests": e.n_requests,
                 "batches": getattr(e, "n_batches", 0),
+                "queue_depth": len(getattr(e, "_queue", ())),
+                "shed_overload": getattr(e, "n_shed_overload", 0),
+                "shed_timeout": getattr(e, "n_shed_timeout", 0),
             })
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
@@ -187,7 +205,8 @@ class SynthesisHandler(BaseHTTPRequestHandler):
                 self._json(400, {"error": str(e) or "empty synthesis"})
                 return
             except Exception as e:
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                if not self._overload_response(e):
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             import itertools
 
@@ -221,7 +240,8 @@ class SynthesisHandler(BaseHTTPRequestHandler):
             self._json(400, {"error": str(e)})
             return
         except Exception as e:  # surface the cause, don't kill the worker
-            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            if not self._overload_response(e):
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
             return
 
         if "wav" not in result:
@@ -288,6 +308,15 @@ def main(argv=None):
                              "after --batch_window_ms either way)")
     parser.add_argument("--batch_window_ms", type=float, default=5.0,
                         help="arrival window for request fusion")
+    parser.add_argument("--max_queue", type=int, default=None,
+                        help="batcher queue depth cap: requests beyond it "
+                             "get 503 + Retry-After instead of unbounded "
+                             "queue latency (default 8x --dynamic_batch; "
+                             "0 disables shedding)")
+    parser.add_argument("--request_timeout", type=float, default=None,
+                        help="per-request deadline in seconds: queued "
+                             "requests past it are shed (504) without "
+                             "spending device time (default: none)")
     parser.add_argument("--lexicon", default=None,
                         help="pinyin lexicon path (zh requests); defaults to "
                              "<config_dir>/lexicon/pinyin-lexicon-r.txt or cwd")
@@ -346,8 +375,13 @@ def main(argv=None):
     if args.dynamic_batch > 1:
         from ..infer.serving import DynamicBatcher
 
+        max_queue = args.max_queue
+        if max_queue is None:
+            max_queue = 8 * args.dynamic_batch
         batcher = DynamicBatcher(engine, max_batch=args.dynamic_batch,
-                                 window_ms=args.batch_window_ms)
+                                 window_ms=args.batch_window_ms,
+                                 max_queue=max_queue or None,
+                                 request_timeout_s=args.request_timeout)
         batch_ladder = tuple(batcher._buckets)  # warm the EXACT dispatch shapes
     print("warming up buckets...", flush=True)
     for (B, L), dt in engine.warmup(include_speaker_emb=True,

@@ -496,6 +496,21 @@ class ServingEngine:
         }
 
 
+class ServerOverloaded(RuntimeError):
+    """Batcher queue is at its depth cap — shed the request instead of
+    letting queue latency grow without bound. `retry_after_s` estimates when
+    capacity frees up (queue depth x recent per-request service time)."""
+
+    def __init__(self, depth: int, max_queue: int, retry_after_s: float):
+        super().__init__(
+            f"server overloaded: queue depth {depth} >= cap {max_queue}")
+        self.retry_after_s = retry_after_s
+
+
+class RequestTimeout(RuntimeError):
+    """Request exceeded its deadline while queued or in flight."""
+
+
 class DynamicBatcher:
     """Transparent request batcher in front of a ServingEngine.
 
@@ -504,15 +519,32 @@ class DynamicBatcher:
     dispatches immediately after the window. The TPU runs one graph either
     way, so batching multiplies throughput under load at ~window_ms added
     latency. speaker_emb requests bypass the batcher (un-batchable path).
+
+    Overload behavior: with `max_queue` set, requests arriving at a full
+    queue raise ServerOverloaded (HTTP layer: 503 + Retry-After) instead of
+    queuing unboundedly; with `request_timeout_s` set, a request that cannot
+    finish inside its deadline raises RequestTimeout (HTTP 504) — expired
+    requests still in the queue are shed without spending device time.
     """
 
     def __init__(self, engine: ServingEngine, max_batch: int = 8,
-                 window_ms: float = 5.0):
+                 window_ms: float = 5.0, max_queue: Optional[int] = None,
+                 request_timeout_s: Optional[float] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if max_queue is not None and max_queue < 1:
+            raise ValueError("max_queue must be >= 1")
         self.engine = engine
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
+        self.max_queue = max_queue
+        self.request_timeout_s = request_timeout_s
+        # EMA of per-request service time, for the Retry-After estimate;
+        # seeded pessimistically (one un-batched dispatch is ~100 ms through
+        # the tunnel) and corrected by the first real batch
+        self._ema_s_per_req = 0.1
+        self.n_shed_overload = 0
+        self.n_shed_timeout = 0
         self._buckets = [1]
         while self._buckets[-1] < max_batch:
             self._buckets.append(self._buckets[-1] * 2)
@@ -555,15 +587,26 @@ class DynamicBatcher:
         req = dict(kwargs, ids=ids)
         done = threading.Event()
         slot: dict = {}
+        if self.request_timeout_s is not None:
+            slot["deadline"] = time.monotonic() + self.request_timeout_s
         with self._mutex:
             # checked under the mutex: close() flips _stop under the same
             # lock before draining, so we either enqueue-before-drain (and
             # get failed by close) or raise here — never hang
             if self._stop:
                 raise RuntimeError("DynamicBatcher closed")
+            if self.max_queue is not None and len(self._queue) >= self.max_queue:
+                self.n_shed_overload += 1
+                retry = max(1.0, len(self._queue) * self._ema_s_per_req)
+                raise ServerOverloaded(len(self._queue), self.max_queue, retry)
             self._queue.append((req, done, slot))
         self._wake.set()
-        done.wait()
+        # wait slightly past the deadline: in-flight completion beats raising
+        if not done.wait(None if self.request_timeout_s is None
+                         else self.request_timeout_s + self.window_s):
+            raise RequestTimeout(
+                f"request exceeded {self.request_timeout_s}s "
+                f"(still {'queued' if 'result' not in slot else 'finishing'})")
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
@@ -574,16 +617,36 @@ class DynamicBatcher:
             if self._stop:
                 return
             time.sleep(self.window_s)  # let concurrent arrivals accumulate
+            now = time.monotonic()
+            expired = []
             with self._mutex:
+                # shed already-expired requests WITHOUT spending device time
+                # on them — their callers have raised (or are about to)
+                if self.request_timeout_s is not None:
+                    live = []
+                    for item in self._queue:
+                        if item[2].get("deadline", now + 1) < now:
+                            expired.append(item)
+                        else:
+                            live.append(item)
+                    self._queue = live
                 batch = self._queue[: self.max_batch]
                 del self._queue[: self.max_batch]
                 if not self._queue:
                     self._wake.clear()
+            for _, done, slot in expired:
+                self.n_shed_timeout += 1
+                slot["error"] = RequestTimeout(
+                    f"request expired after {self.request_timeout_s}s in queue")
+                done.set()
             if not batch:
                 continue
             try:
+                t0 = time.monotonic()
                 results = self.engine.synthesize_many(
                     [r for r, _, _ in batch], batch_buckets=tuple(self._buckets))
+                dt = (time.monotonic() - t0) / len(batch)
+                self._ema_s_per_req += 0.2 * (dt - self._ema_s_per_req)
                 for (_, done, slot), res in zip(batch, results):
                     slot["result"] = res
                     done.set()

@@ -8,6 +8,8 @@ Uses a tiny model with the duration-predictor output bias nudged to ln(5)
 import json
 import math
 import threading
+import time
+import urllib.error
 import urllib.request
 
 import jax
@@ -435,3 +437,154 @@ def test_http_streaming_speaker_emb(server, engine):
         assert resp.status == 200
         body = resp.read()
     assert np.frombuffer(body[44:], np.int16).size > 0
+
+
+class _GatedEngine:
+    """Minimal engine stub whose dispatch blocks on an event — lets the
+    overload tests hold the batcher's worker mid-flight deterministically."""
+
+    text_buckets = (16,)
+    mel_caps = {16: 64}
+    sample_rate = 22050
+
+    def __init__(self):
+        self.gate = threading.Event()
+        self.inflight = threading.Event()
+        self.n_requests = 0
+        self.n_batches = 0
+
+    def synthesize_many(self, reqs, batch_buckets=None):
+        self.inflight.set()
+        assert self.gate.wait(10), "test gate never opened"
+        self.n_requests += len(reqs)
+        self.n_batches += 1
+        return [{"mel_len": 4, "wav": np.zeros(16, np.int16),
+                 "sample_rate": self.sample_rate, "latency_s": 0.0,
+                 "bucket": 16} for _ in reqs]
+
+
+def test_batcher_overload_sheds_with_retry_after():
+    """Requests beyond max_queue raise ServerOverloaded immediately (no
+    device time spent) while queued requests still complete."""
+    from masg_tpu.infer.serving import DynamicBatcher, ServerOverloaded
+
+    eng = _GatedEngine()
+    batcher = DynamicBatcher(eng, max_batch=1, window_ms=1.0, max_queue=2)
+    try:
+        results = []
+        threads = [threading.Thread(
+            target=lambda: results.append(batcher.synthesize([5, 6, 7])))
+            for _ in range(3)]
+        threads[0].start()
+        assert eng.inflight.wait(10)  # worker holds request 0 at the gate
+        threads[1].start()
+        threads[2].start()
+        deadline = time.monotonic() + 10
+        while len(batcher._queue) < 2:  # both waiters queued
+            assert time.monotonic() < deadline
+            time.sleep(0.005)
+        with pytest.raises(ServerOverloaded) as exc:
+            batcher.synthesize([5, 6, 7])
+        assert exc.value.retry_after_s >= 1.0
+        assert batcher.n_shed_overload == 1
+        eng.gate.set()
+        for t in threads:
+            t.join(timeout=10)
+        assert len(results) == 3  # queued requests all served after release
+        assert eng.n_requests == 3  # the shed request never hit the device
+    finally:
+        eng.gate.set()
+        batcher.close()
+
+
+def test_batcher_request_timeout_sheds_queued():
+    """Queued requests past their deadline raise RequestTimeout and are shed
+    without device time; an in-flight overrun raises at the caller too."""
+    from masg_tpu.infer.serving import DynamicBatcher, RequestTimeout
+
+    eng = _GatedEngine()
+    batcher = DynamicBatcher(eng, max_batch=1, window_ms=1.0,
+                             request_timeout_s=0.2)
+    try:
+        errors = []
+
+        def call():
+            try:
+                batcher.synthesize([5, 6, 7])
+                errors.append(None)
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=call) for _ in range(3)]
+        threads[0].start()
+        assert eng.inflight.wait(10)  # request 0 held in flight at the gate
+        threads[1].start()
+        threads[2].start()
+        time.sleep(0.5)  # all three deadlines expire while the gate holds
+        eng.gate.set()
+        for t in threads:
+            t.join(timeout=10)
+        assert all(isinstance(e, RequestTimeout) for e in errors), errors
+        # the two QUEUED requests were shed without touching the device;
+        # only the in-flight one consumed a dispatch
+        deadline = time.monotonic() + 5
+        while batcher.n_shed_timeout < 2 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert batcher.n_shed_timeout == 2
+        assert eng.n_requests == 1
+    finally:
+        eng.gate.set()
+        batcher.close()
+
+
+def test_http_overload_maps_to_503():
+    """A full batcher queue surfaces as HTTP 503 + Retry-After; /health
+    reports queue depth and shed counters."""
+    from masg_tpu.cli.serve import make_server
+    from masg_tpu.infer.serving import DynamicBatcher
+
+    eng = _GatedEngine()
+    batcher = DynamicBatcher(eng, max_batch=1, window_ms=1.0, max_queue=1)
+    srv = make_server(batcher, port=0)
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        codes = {}
+
+        def post():
+            req = urllib.request.Request(
+                url + "/synthesize", data=json.dumps(
+                    {"phones": "{a o i}"}).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    codes[threading.get_ident()] = (resp.status, None)
+            except urllib.error.HTTPError as e:
+                codes[threading.get_ident()] = (
+                    e.code, e.headers.get("Retry-After"))
+
+        t0 = threading.Thread(target=post)
+        t0.start()
+        assert eng.inflight.wait(10)
+        t1 = threading.Thread(target=post)
+        t1.start()
+        deadline = time.monotonic() + 10
+        while len(batcher._queue) < 1:
+            assert time.monotonic() < deadline
+            time.sleep(0.005)
+        post()  # queue full -> 503 on this caller
+        eng.gate.set()
+        t0.join(10)
+        t1.join(10)
+        got = sorted(codes.values())
+        assert got[0][0] == 200 and got[1][0] == 200
+        assert got[2][0] == 503 and int(got[2][1]) >= 1, got
+        with urllib.request.urlopen(url + "/health", timeout=10) as resp:
+            health = json.loads(resp.read())
+        assert health["shed_overload"] == 1
+        assert "queue_depth" in health
+    finally:
+        eng.gate.set()
+        srv.shutdown()
+        batcher.close()
