@@ -40,3 +40,8 @@ def pytest_configure(config):
         "markers",
         "tpu: needs the real TPU backend, opt in with MASG_TPU_TESTS=1",
     )
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast cross-subsystem tier — `pytest -m smoke -n 0` targets "
+        "<8 min on one CPU core (README 'Running the tests')",
+    )

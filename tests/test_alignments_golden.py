@@ -18,6 +18,9 @@ prepare_tg_hts.py:58-74.
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 LAB = os.path.join(DATA, "konnichiwa_full.lab")

@@ -38,6 +38,7 @@ def test_hann_window_matches_torch():
     np.testing.assert_allclose(hann_window(1024), torch.hann_window(1024).numpy(), atol=5e-7)
 
 
+@pytest.mark.smoke
 def test_stft_matches_torch():
     audio = make_audio()
     ref = torch_magspec(audio).numpy()
@@ -72,6 +73,7 @@ def test_mel_filterbank_slaney_properties():
         assert abs(freqs[peak_bin] - centers_hz[m + 1]) < 22050 / 1024  # within one bin
 
 
+@pytest.mark.smoke
 def test_full_pipeline_matches_reference_numerics():
     import torch
 

@@ -1,11 +1,15 @@
 """Text cleaner tests (keithito pipeline semantics)."""
 
+import pytest
+
 from masg_tpu.text.cleaners import (
     basic_cleaners,
     clean_text,
     english_cleaners,
     normalize_numbers,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def test_numbers():

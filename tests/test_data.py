@@ -34,6 +34,7 @@ def test_dataset_items(corpus):
     assert len(s["accent"]) == len(s["text"])
 
 
+@pytest.mark.smoke
 def test_grouped_collate_sorts_and_splits(corpus):
     raw, pre, config = corpus
     ds = Dataset("train.txt", config, batch_size=2, sort=True)
@@ -51,6 +52,7 @@ def test_grouped_collate_sorts_and_splits(corpus):
     assert sorted(all_lens, reverse=True)[:2] == all_lens[:2]
 
 
+@pytest.mark.smoke
 def test_bucketing(corpus):
     raw, pre, config = corpus
     ds = Dataset("train.txt", config, batch_size=2, text_bucket=16, mel_bucket=64)

@@ -13,6 +13,9 @@ from masg_tpu.distributions.wasserstein import (
     w2sq_diag,
 )
 from masg_tpu.ops.gmm import DiagGMM, log_prob, sample
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def random_gmm(rng, k=3, d=4):

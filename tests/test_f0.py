@@ -19,6 +19,7 @@ def synth_tone(f0_hz, seconds=1.0, harmonics=4, noise=0.0, seed=0):
 
 
 @pytest.mark.parametrize("f0_true", [110.0, 220.0, 330.0])
+@pytest.mark.smoke
 def test_dio_constant_tone(f0_true):
     x = synth_tone(f0_true)
     f0, t = dio(x, SR, FRAME_PERIOD)
@@ -30,6 +31,7 @@ def test_dio_constant_tone(f0_true):
     assert np.median(err) < 0.02, (f0_true, np.median(err))
 
 
+@pytest.mark.smoke
 def test_stonemask_refines_coarse_estimates():
     """StoneMask's job: pull coarse (jittered) DIO estimates back to the true
     F0 using instantaneous frequency."""

@@ -49,6 +49,7 @@ def test_native_unvoiced_noise():
     assert np.mean(out > 0) < 0.3
 
 
+@pytest.mark.smoke
 def test_extract_f0_prefers_native():
     from masg_tpu.audio.f0 import extract_f0
 

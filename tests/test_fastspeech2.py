@@ -1,6 +1,7 @@
 """FastSpeech2 model-level tests: init, teacher-forced and free-running
 forwards, speaker prior, loss finiteness."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +64,7 @@ def make_batch(rng, B=2, L=11, T=40, n_mels=80, meta_dim=4):
     )
 
 
+@pytest.mark.smoke
 def test_forward_teacher_forced_and_loss():
     cfg = tiny_config()
     model = FastSpeech2.from_config(cfg)
@@ -97,6 +99,7 @@ def test_forward_teacher_forced_and_loss():
     assert np.isfinite(float(elp))
 
 
+@pytest.mark.smoke
 def test_forward_inference_predicted_durations():
     cfg = tiny_config()
     model = FastSpeech2.from_config(cfg)

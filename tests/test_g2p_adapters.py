@@ -16,6 +16,10 @@ import stat
 import sys
 import types
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 

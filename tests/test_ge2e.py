@@ -21,6 +21,7 @@ from masg_tpu.models.speaker_encoder import (
 )
 
 
+@pytest.mark.smoke
 def test_similarity_matches_torch_reference():
     torch = pytest.importorskip("torch")
     # the reference's similarity helpers (utils.py) need hparam/librosa, so
@@ -81,6 +82,7 @@ def test_chunk_mels_matches_reference_reshape():
     np.testing.assert_allclose(out[1, 220 - 150 :], 0.0)
 
 
+@pytest.mark.smoke
 def test_embedder_shapes_and_norm():
     emb = SpeechEmbedder(n_mels=20, hidden=16, n_layers=2, proj=8)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(6, 30, 20)), jnp.float32)

@@ -65,6 +65,7 @@ def test_matches_torch_reference():
     np.testing.assert_allclose(ours, ref_wav, atol=2e-5)
 
 
+@pytest.mark.smoke
 def test_weight_norm_folding():
     torch = pytest.importorskip("torch")
     sys.path.insert(0, "/root/reference")
@@ -97,6 +98,7 @@ def test_weight_norm_folding():
     np.testing.assert_allclose(ours, ref_wav, atol=2e-5)
 
 
+@pytest.mark.smoke
 def test_time_packing_matches_plain():
     """Block-Toeplitz time-packed MRF convs (the TPU lane-fill rewrite) are
     numerically the same conv — packed vs plain outputs agree to float

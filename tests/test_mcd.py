@@ -3,6 +3,9 @@
 import numpy as np
 
 from masg_tpu.utils.mcd import mcd, mel_to_mcep
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_identical_is_zero():

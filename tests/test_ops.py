@@ -18,6 +18,8 @@ from masg_tpu.ops import (
     sinusoid_table,
 )
 
+pytestmark = pytest.mark.smoke
+
 
 def test_pad_mask():
     m = pad_mask_from_lengths(jnp.array([2, 4]), 5)

@@ -4,6 +4,7 @@ parser unit tests."""
 import json
 import os
 
+import pytest
 import numpy as np
 
 from masg_tpu.preprocessor.preprocessor import Preprocessor
@@ -12,6 +13,7 @@ from masg_tpu.preprocessor.textgrid import parse_textgrid, read_textgrid
 from fixtures import SR, make_synthetic_corpus
 
 
+@pytest.mark.smoke
 def test_textgrid_roundtrip(tmp_path):
     from masg_tpu.preprocessor.textgrid import Interval, TextGrid, Tier, write_textgrid
 
@@ -57,6 +59,7 @@ item []:
     assert [i.text for i in tier.intervals] == ["", "a"]
 
 
+@pytest.mark.smoke
 def test_preprocess_end_to_end(tmp_path):
     raw, pre, config = make_synthetic_corpus(str(tmp_path), n_speakers=2, utts_per_speaker=4)
     pp = Preprocessor(config)

@@ -8,9 +8,9 @@ import pytest
 
 REF_CONFIG = "/root/reference/config"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.smoke, pytest.mark.skipif(
     not os.path.isdir(REF_CONFIG), reason="reference configs not mounted"
-)
+)]
 
 
 def config_dirs():

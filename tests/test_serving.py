@@ -57,6 +57,7 @@ def engine():
     )
 
 
+@pytest.mark.smoke
 def test_pick_bucket():
     from masg_tpu.infer.serving import pick_bucket
 
@@ -463,6 +464,7 @@ class _GatedEngine:
                  "bucket": 16} for _ in reqs]
 
 
+@pytest.mark.smoke
 def test_batcher_overload_sheds_with_retry_after():
     """Requests beyond max_queue raise ServerOverloaded immediately (no
     device time spent) while queued requests still complete."""
@@ -497,6 +499,7 @@ def test_batcher_overload_sheds_with_retry_after():
         batcher.close()
 
 
+@pytest.mark.smoke
 def test_batcher_request_timeout_sheds_queued():
     """Queued requests past their deadline raise RequestTimeout and are shed
     without device time; an in-flight overrun raises at the caller too."""
@@ -537,6 +540,7 @@ def test_batcher_request_timeout_sheds_queued():
         batcher.close()
 
 
+@pytest.mark.smoke
 def test_http_overload_maps_to_503():
     """A full batcher queue surfaces as HTTP 503 + Retry-After; /health
     reports queue depth and shed counters."""

@@ -728,9 +728,12 @@ def test_training_trajectory_parity_jdit(no_dropout, tmp_path):
     (encoder 256, RNNs 1024): the Tacotron2 teacher trains jointly with FS2
     under ScheduledOptim, its MSE added to the total (train.py:150-154 with
     the indexing corrected by evident intent — see _torch_trajectory), and
-    its LSTM biases updating under the torch two-bias Adam compat. Fewer
-    batches than the other variants: the f64 jdit scan dominates compile."""
-    batches = _make_batches(3, seed=5)
+    its LSTM biases updating under the torch two-bias Adam compat. Two
+    batches, fewer than the other variants (suite-time: the f64 jdit scan
+    dominates compile and the torch python-loop decoder dominates runtime;
+    two updates still catch LSTM-carry and bias-correction regressions —
+    step 1 exposes init/bias-correction, step 2 exposes carried state)."""
+    batches = _make_batches(2, seed=5)
     ref_traj, _ = _torch_trajectory(
         batches, grad_acc_step=1, total_step=100, tmpdir=str(tmp_path),
         use_jdit=True, hidden=256)

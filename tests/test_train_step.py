@@ -50,6 +50,7 @@ def test_noam_schedule_matches_reference():
     np.testing.assert_allclose(float(sched(300000)), ref, rtol=1e-6)
 
 
+@pytest.mark.smoke
 def test_train_step_decreases_loss():
     cfg = tiny_config()
     cfg.train.optimizer.warm_up_step = 50  # reach a useful LR quickly
@@ -82,6 +83,7 @@ def test_eval_step_runs():
     assert np.isfinite(float(eloss))
 
 
+@pytest.mark.smoke
 def test_data_parallel_equivalence():
     """1-device step == 8-device data-parallel step (same math, psum grads)."""
     from masg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -110,6 +112,7 @@ def test_data_parallel_equivalence():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=2e-4)
 
 
+@pytest.mark.smoke
 def test_checkpoint_roundtrip(tmp_path):
     from masg_tpu.core.checkpoint import CheckpointManager
 
