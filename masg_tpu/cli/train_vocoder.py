@@ -60,6 +60,11 @@ def main(argv=None):
                              "initialize G from (fine-tune mode)")
     parser.add_argument("--save_step", type=int, default=5000)
     parser.add_argument("--log_step", type=int, default=100)
+    parser.add_argument("--no_normalize", action="store_true",
+                        help="train on raw wav amplitudes instead of the "
+                             "upstream per-file 0.95-peak normalization "
+                             "(from-scratch mode only; fine-tuning never "
+                             "normalizes, matching upstream)")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--n_devices", type=int, default=None,
                         help="cap the data-parallel device count (default: "
@@ -106,7 +111,8 @@ def main(argv=None):
         print(f"{len(paths)} training wavs under {args.wav_dir}")
         dataset = VocoderSegmentDataset(
             paths, segment_size=int(cfg["segment_size"]),
-            sample_rate=int(cfg["sampling_rate"]), seed=seed)
+            sample_rate=int(cfg["sampling_rate"]), seed=seed,
+            normalize=not args.no_normalize)
     steps_per_epoch = dataset.steps_per_epoch(batch_size)
 
     gen = HiFiGANGenerator(

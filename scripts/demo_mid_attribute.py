@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the demo's wall time in minutes. Written into the config dir as
 # hifigan_config.json so training and inference agree on dims.
 DEMO_HIFIGAN = {
-    "segment_size": 4096, "hop_size": 256, "n_fft": 1024, "win_size": 1024,
+    # segment_size 8192 = 32 mel frames (upstream V1): 4096 was measured
+    # worse — 16 frames is under the generator's receptive field, so
+    # boundary effects dominate every training example
+    "segment_size": 8192, "hop_size": 256, "n_fft": 1024, "win_size": 1024,
     "num_mels": 80, "sampling_rate": 22050, "fmin": 0, "fmax": 8000,
     "fmax_for_loss": None, "learning_rate": 2e-4, "adam_b1": 0.8,
     "adam_b2": 0.99, "lr_decay": 0.999, "batch_size": 8,

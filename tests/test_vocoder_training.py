@@ -492,3 +492,36 @@ def test_train_vocoder_cli_smoke(tmp_path):
           "--steps", "5", "--save_step", "5", "--log_step", "1",
           "--restore", os.path.join(out, "vocoder_3.msgpack")])
     assert os.path.exists(os.path.join(out, "vocoder_5.msgpack"))
+
+
+def test_segment_dataset_normalizes_per_file(tmp_path):
+    """From-scratch training normalizes each FILE to 0.95 peak before
+    cropping (upstream jik876 meldataset: audio = normalize(audio) * 0.95
+    when not fine_tuning) so mixed-loudness corpora present one consistent
+    amplitude target; --no_normalize restores raw amplitudes. Fine-tuning
+    pairs stay raw (their mels came from the raw audio)."""
+    import numpy as np
+
+    from masg_tpu.audio.wavio import write_wav
+    from masg_tpu.data.vocoder import VocoderSegmentDataset
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, scale in enumerate((0.05, 0.4)):
+        w = (scale * np.sin(np.linspace(0, 300, 4000))
+             * (1 + 0.1 * rng.normal(size=4000))).astype(np.float32)
+        p = str(tmp_path / f"w{i}.wav")
+        write_wav(p, w, 22050)
+        paths.append(p)
+
+    ds = VocoderSegmentDataset(paths, segment_size=4000, seed=1)
+    batch = next(ds.batches(2))
+    # segment_size == file length -> each row IS a whole file, normalized
+    peaks = np.abs(batch).max(axis=1)
+    np.testing.assert_allclose(peaks, 0.95, rtol=2e-3)
+
+    raw = VocoderSegmentDataset(paths, segment_size=4000, seed=1,
+                                normalize=False)
+    raw_batch = next(raw.batches(2))
+    raw_peaks = sorted(np.abs(raw_batch).max(axis=1))
+    assert raw_peaks[0] < 0.1 and 0.3 < raw_peaks[1] < 0.5
