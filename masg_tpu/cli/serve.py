@@ -297,15 +297,16 @@ def main(argv=None):
     parser.add_argument("--no_vocoder", action="store_true",
                         help="serve mels only (skip HiFi-GAN)")
     parser.add_argument("--vocoder_checkpoint", default=None)
-    parser.add_argument("--dynamic_batch", type=int, default=16,
+    parser.add_argument("--dynamic_batch", type=int, default=32,
                         help=">1: fuse concurrent requests into one batched "
-                             "device dispatch (DynamicBatcher). Default 16 "
-                             "from the measured sweep (BASELINE.md): 8.0 / "
-                             "34.1 / 37.4 / 46.8 req/s at 1/8/16/32 under "
-                             "64 concurrent mixed-length clients — raise to "
-                             "32 for saturated-throughput serving, 1 to "
-                             "disable batching (lone requests dispatch solo "
-                             "after --batch_window_ms either way)")
+                             "device dispatch (DynamicBatcher). Default 32 "
+                             "= the measured throughput KNEE (BASELINE.md): "
+                             "8.0 / 34.1 / 37.4 / 46.8 req/s at 1/8/16/32 "
+                             "(64 clients), and at 256 clients batch 64 "
+                             "DROPS to 37.7 req/s vs 41.4 at 32 with worse "
+                             "p99 — larger batches past 32 lose. 1 disables "
+                             "batching (lone requests dispatch solo after "
+                             "--batch_window_ms either way)")
     parser.add_argument("--batch_window_ms", type=float, default=5.0,
                         help="arrival window for request fusion")
     parser.add_argument("--max_queue", type=int, default=None,

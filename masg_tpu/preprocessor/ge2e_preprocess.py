@@ -72,8 +72,16 @@ def chunk_speaker_wavs(
     sr: int = 22050,
     tisv_frame: int = 150,
     hop: int = 256,
+    stride: int = 0,
 ) -> np.ndarray:
-    """All speaker wavs -> (n_chunks, n_mels, tisv_frame) archive."""
+    """All speaker wavs -> (n_chunks, n_mels, tisv_frame) archive.
+
+    stride=0 (default): one chunk from each end of every VAD span — the
+    reference data prep's policy (data_preprocess.py takes leading/trailing
+    windows). stride=N frames: additionally slide an N-frame-stride window
+    across each span — for small corpora where two-chunks-per-span leaves
+    too few chunks to fill an (N_speakers x M_utts) GE2E batch without
+    heavy replacement."""
     chunks = []
     min_samples = tisv_frame * hop
     for p in wav_paths:
@@ -85,11 +93,13 @@ def chunk_speaker_wavs(
             if len(seg) < min_samples:
                 continue
             mel = ge2e_mel(seg, sr=sr, hop=hop)  # (n_mels, T)
-            # one chunk from each end of the utterance (reference takes
-            # leading/trailing windows per VAD segment)
-            chunks.append(mel[:, :tisv_frame])
-            if mel.shape[1] >= 2 * tisv_frame:
-                chunks.append(mel[:, -tisv_frame:])
+            if stride > 0:
+                for i in range(0, mel.shape[1] - tisv_frame + 1, stride):
+                    chunks.append(mel[:, i:i + tisv_frame])
+            else:
+                chunks.append(mel[:, :tisv_frame])
+                if mel.shape[1] >= 2 * tisv_frame:
+                    chunks.append(mel[:, -tisv_frame:])
     if not chunks:
         return np.zeros((0, 80, tisv_frame), np.float32)
     return np.stack(chunks).astype(np.float32)
@@ -100,6 +110,7 @@ def build_ge2e_corpus(
     out_dir: str,
     dataset: str,
     sr: int = 22050,
+    stride: int = 0,
 ) -> List[str]:
     """speakers: name -> (wav paths, gender, language). Writes
     `{dataset}_{spkr}_{gender}_{lang}.npy` per speaker (reference filename
@@ -107,7 +118,7 @@ def build_ge2e_corpus(
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for spk, (paths, gender, lang) in speakers.items():
-        arr = chunk_speaker_wavs(paths, sr=sr)
+        arr = chunk_speaker_wavs(paths, sr=sr, stride=stride)
         if arr.shape[0] == 0:
             continue
         fn = f"{dataset.lower()}_{spk}_{gender}_{lang}.npy"
