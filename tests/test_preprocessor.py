@@ -158,3 +158,40 @@ def test_ge2e_preprocess_chunks(tmp_path):
     arr = np.load(tmp_path / "chunks" / written[0])
     assert arr.ndim == 3 and arr.shape[1] == 80 and arr.shape[2] == 150
     assert arr.shape[0] >= 2
+
+
+def test_ge2e_stride_chunks_feed_training(tmp_path):
+    """stride=N chunk prep (small-corpus mode, used by the full-pipeline
+    demo) yields archives the GE2E trainer consumes directly: sliding
+    windows > end-windows count, and SpeakerChunkDataset can fill an NxM
+    batch from them without replacement."""
+    import numpy as np
+
+    from masg_tpu.audio.wavio import write_wav
+    from masg_tpu.preprocessor.ge2e_preprocess import build_ge2e_corpus
+    from masg_tpu.train.ge2e import SpeakerChunkDataset
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    spk_map = {}
+    for i, (g, lang, f0) in enumerate(
+            (("M", "ja", 130.0), ("F", "ja", 220.0), ("M", "en", 140.0))):
+        t = np.arange(int(5.0 * sr)) / sr
+        w = (0.4 * np.sin(2 * np.pi * f0 * t)
+             * (1 + 0.2 * np.sin(2 * np.pi * (3 + i) * t))
+             + 0.01 * rng.normal(size=t.shape)).astype(np.float32)
+        p = tmp_path / f"s{i}.wav"
+        write_wav(str(p), w, sr)
+        spk_map[f"s{i}"] = ([str(p)], g, lang)
+
+    out = str(tmp_path / "chunks")
+    written = build_ge2e_corpus(spk_map, out, "SYNTH", sr, stride=75)
+    assert len(written) == 3
+    for f in written:
+        arr = np.load(tmp_path / "chunks" / f)
+        assert arr.shape[0] >= 4 and arr.shape[1:] == (80, 150)
+
+    ds = SpeakerChunkDataset(out, ["SYNTH"], m_utts=4, seed=0)
+    mels, langs = ds.sample_batch(3, variable_length=False)
+    assert mels.shape == (12, 150, 80) and np.isfinite(mels).all()
+    assert set(langs.tolist()) == {0.0, 1.0}  # lang-balanced batch
