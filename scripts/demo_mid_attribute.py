@@ -53,7 +53,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--fs2_steps", type=int, default=1200)
-    ap.add_argument("--vocoder_steps", type=int, default=300)
+    ap.add_argument("--vocoder_steps", type=int, default=4000,
+                    help="probe-budgeted for AUDIBLE output (scripts/"
+                         "probe_vocoder_audibility): amplitude tracks GT "
+                         "from ~1000 steps, copy-synthesis MCD ~20 dB at "
+                         "4000 (~6.5 min on one v5e); the round-3 300-step "
+                         "default produced peak ~5e-4 FS wavs")
     ap.add_argument("--n_speakers_sampled", type=int, default=3)
     args = ap.parse_args()
 
