@@ -24,7 +24,8 @@ import math
 import numpy as np
 
 
-def run_sweep(max_batch, n_requests, concurrency, engine_kwargs):
+def run_sweep(max_batch, n_requests, concurrency, engine_kwargs,
+              max_queue=None, request_timeout_s=None):
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship
@@ -54,7 +55,9 @@ def run_sweep(max_batch, n_requests, concurrency, engine_kwargs):
     target = engine
     ladder = (1,)
     if max_batch > 1:
-        batcher = DynamicBatcher(engine, max_batch=max_batch, window_ms=5.0)
+        batcher = DynamicBatcher(engine, max_batch=max_batch, window_ms=5.0,
+                                 max_queue=max_queue,
+                                 request_timeout_s=request_timeout_s)
         ladder = tuple(batcher._buckets)
         target = batcher
 
@@ -73,14 +76,23 @@ def run_sweep(max_batch, n_requests, concurrency, engine_kwargs):
     idx_iter = iter(range(n_requests))
     idx_lock = threading.Lock()
 
+    shed = [0]
+
     def worker():
+        from masg_tpu.infer.serving import RequestTimeout, ServerOverloaded
+
         while True:
             with idx_lock:
                 i = next(idx_iter, None)
             if i is None:
                 return
             t = time.perf_counter()
-            out = target.synthesize(reqs[i], speaker_id=i % 16)
+            try:
+                out = target.synthesize(reqs[i], speaker_id=i % 16)
+            except (ServerOverloaded, RequestTimeout):
+                with lat_lock:
+                    shed[0] += 1
+                continue
             dt = time.perf_counter() - t
             assert out["mel_len"] > 0
             with lat_lock:
@@ -99,7 +111,8 @@ def run_sweep(max_batch, n_requests, concurrency, engine_kwargs):
     lat = np.sort(latencies)
     return {
         "max_batch": max_batch,
-        "req_per_s": n_requests / wall,
+        "req_per_s": len(latencies) / wall,
+        "shed": shed[0],
         "p50_ms": float(np.quantile(lat, 0.5) * 1e3),
         "p90_ms": float(np.quantile(lat, 0.9) * 1e3),
         "p99_ms": float(np.quantile(lat, 0.99) * 1e3),
@@ -113,6 +126,10 @@ def main():
     ap.add_argument("--requests", type=int, default=128)
     ap.add_argument("--concurrency", type=int, default=64)
     ap.add_argument("--batches", default="1,8,16,32")
+    ap.add_argument("--max_queue", type=int, default=None,
+                    help="enable overload shedding at this queue depth "
+                         "(served req/s + shed count reported)")
+    ap.add_argument("--request_timeout", type=float, default=None)
     args = ap.parse_args()
 
     from masg_tpu.core.cache import enable_compilation_cache
@@ -120,8 +137,11 @@ def main():
     enable_compilation_cache()
 
     for mb in (int(x) for x in args.batches.split(",")):
-        r = run_sweep(mb, args.requests, args.concurrency, {})
+        r = run_sweep(mb, args.requests, args.concurrency, {},
+                      max_queue=args.max_queue,
+                      request_timeout_s=args.request_timeout)
         print(f"max_batch={r['max_batch']:3d}: {r['req_per_s']:7.1f} req/s  "
+              f"shed={r['shed']:4d}  "
               f"p50={r['p50_ms']:7.1f} ms  p90={r['p90_ms']:7.1f} "
               f"p99={r['p99_ms']:7.1f}  (warmup {r['warmup_s']:.0f}s, "
               f"{r['graphs']} graphs)", flush=True)
