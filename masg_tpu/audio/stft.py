@@ -84,10 +84,18 @@ def stft_magnitude(
     hop_length: int = 256,
     win_length: int = 1024,
     center: bool = True,
+    pad_to: int | None = None,
 ) -> jnp.ndarray:
     """|STFT| of (..., T) audio -> (..., n_freqs, n_frames), power=1.
 
     center=True reflect-pads n_fft//2 on both sides (torch.stft semantics).
+
+    pad_to: zero-pad the (already reflect-padded) signal out to this many
+    samples so callers can bucket input lengths into a few compiled shapes.
+    Because the reflect padding is applied to the true signal FIRST, every
+    frame whose window lies within the reflect-padded extent is bit-identical
+    to the unbucketed result — only the extra tail frames (which the caller
+    discards) read zeros.
     """
     window = jnp.asarray(hann_window(win_length))
     if win_length < n_fft:
@@ -98,6 +106,13 @@ def stft_magnitude(
         pad = n_fft // 2
         pad_widths = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
         audio = jnp.pad(audio, pad_widths, mode="reflect")
+    if pad_to is not None:
+        target = pad_to + (n_fft if center else 0)
+        if target < audio.shape[-1]:
+            raise ValueError(
+                f"pad_to {pad_to} < audio length {audio.shape[-1]}")
+        tail = [(0, 0)] * (audio.ndim - 1) + [(0, target - audio.shape[-1])]
+        audio = jnp.pad(audio, tail)
 
     t = audio.shape[-1]
     n_frames = 1 + (t - n_fft) // hop_length
@@ -117,14 +132,18 @@ def mel_spectrogram_and_energy(
     sample_rate: int = 22050,
     f_min: float = 0.0,
     f_max: float = 8000.0,
+    pad_to: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(..., T) audio -> (log-mel (..., n_mels, frames), energy (..., frames)).
 
     Reference calc_spectrogram (preprocessor.py:330-336): clip audio to [-1,1],
     magnitude STFT, slaney mel, log(clamp_min(1e-5)); energy = L2 over freqs.
+
+    pad_to: length-bucketing passthrough (see stft_magnitude) — frames beyond
+    the true signal's frame count must be discarded by the caller.
     """
     audio = jnp.clip(audio, -1.0, 1.0)
-    mag = stft_magnitude(audio, n_fft, hop_length, win_length)
+    mag = stft_magnitude(audio, n_fft, hop_length, win_length, pad_to=pad_to)
     fb = jnp.asarray(mel_filterbank(n_mels, n_fft, sample_rate, f_min, f_max))
     mel = jnp.einsum("...ft,fm->...mt", mag, fb)
     logmel = jnp.log(jnp.clip(mel, 1e-5, None))

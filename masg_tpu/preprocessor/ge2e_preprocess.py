@@ -61,7 +61,10 @@ def ge2e_mel(wav: np.ndarray, sr: int = 22050, n_fft: int = 1024,
     """log-mel with fmin 55 / fmax 8000 (reference utils.py mel_spectrogram;
     note: center=False uncentered STFT in librosa.core.stft default is
     center=True — reference uses the default, so center-padded)."""
-    mag = np.asarray(stft_magnitude(wav.astype(np.float32), n_fft, hop, win))
+    from ..core.hostcompute import on_host
+
+    with on_host():  # offline prep: host CPU backend, no accelerator fetches
+        mag = np.asarray(stft_magnitude(wav.astype(np.float32), n_fft, hop, win))
     fb = mel_filterbank(n_mels, n_fft, sr, 55.0, 8000.0)
     mel = fb.T @ mag
     return np.log(np.clip(mel, 1e-5, None))

@@ -20,6 +20,7 @@ import numpy as np
 from ..audio.f0 import extract_f0
 from ..audio.stft import mel_spectrogram_and_energy
 from ..audio.wavio import read_wav, resample_kaiser
+from ..core.hostcompute import on_host
 from .textgrid import read_textgrid
 
 SIL_PHONES = ["sil", "sp", "spn", "silB", "silE", ""]
@@ -72,6 +73,29 @@ class Preprocessor:
         self.energy_phoneme_averaging = pp["energy"]["feature"] == "phoneme_level"
         self.pitch_normalization = pp["pitch"]["normalization"]
         self.energy_normalization = pp["energy"]["normalization"]
+
+        # one jitted feature program per length bucket (16384-sample = 0.74 s
+        # granularity): a fresh corpus has ~every utterance at a unique
+        # length, and per-shape eager dispatch costs ~25 CPU compiles each;
+        # bucketing + jit collapses that to a handful of compiles total.
+        import functools
+
+        import jax
+
+        self._bucket = 16384
+        self._mel_fn = jax.jit(
+            functools.partial(
+                mel_spectrogram_and_energy,
+                n_fft=self.filter_length,
+                hop_length=self.hop_length,
+                win_length=self.win_length,
+                n_mels=self.n_mels,
+                sample_rate=self.sampling_rate,
+                f_min=self.mel_fmin,
+                f_max=self.mel_fmax if self.mel_fmax else self.sampling_rate / 2,
+            ),
+            static_argnames=("pad_to",),
+        )
 
     # ------------------------------------------------------------------
     def build_from_path(self) -> List[List[str]]:
@@ -204,18 +228,16 @@ class Preprocessor:
         if np.sum(pitch != 0) <= 1:
             return None
 
-        logmel, energy = mel_spectrogram_and_energy(
-            wav,
-            n_fft=self.filter_length,
-            hop_length=self.hop_length,
-            win_length=self.win_length,
-            n_mels=self.n_mels,
-            sample_rate=self.sampling_rate,
-            f_min=self.mel_fmin,
-            f_max=self.mel_fmax if self.mel_fmax else self.sampling_rate / 2,
-        )
-        mel = np.array(logmel)[:, : sum(duration)]
-        energy = np.array(energy)[: sum(duration)]
+        # offline feature extraction runs on the host CPU backend (cheap
+        # compiles, no accelerator fetches), length-bucketed so the jitted
+        # program is reused across utterances; bucketing is numerically exact
+        # for the frames kept (see stft_magnitude pad_to)
+        n_valid = 1 + len(wav) // self.hop_length
+        pad_to = -(-max(len(wav), self.filter_length) // self._bucket) * self._bucket
+        with on_host():
+            logmel, energy = self._mel_fn(wav, pad_to=pad_to)
+            mel = np.array(logmel)[:, :n_valid][:, : sum(duration)]
+            energy = np.array(energy)[:n_valid][: sum(duration)]
 
         if self.pitch_phoneme_averaging:
             # linear-interp unvoiced gaps, then per-phoneme means (:212-231)
