@@ -284,6 +284,9 @@ class StepConfig:
     synth_step: int = 1000
     val_step: int = 1000
     save_step: int = 10000
+    # checkpoint rotation: keep only the newest N step checkpoints (None =
+    # keep all, the reference's behavior — train.py:271-285 never deletes)
+    keep_last: Optional[int] = None
 
 
 @dataclass

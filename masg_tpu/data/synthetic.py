@@ -44,10 +44,12 @@ def _formant_gain(freq_hz, formants):
     return g * (1.0 / (1.0 + freq_hz / 3000.0))
 
 
-def _vocal_phone(rng, phone, n, f0):
+def _vocal_phone(rng, phone, n, f0, formant_scale=1.0):
     """One phone of speech-like audio: glottal harmonic source shaped by
     formant envelopes (+ aspiration) for vowels/nasals, shaped noise for
-    fricatives, closure+burst for stops. f0: per-sample contour (len n)."""
+    fricatives, closure+burst for stops. f0: per-sample contour (len n).
+    formant_scale: per-speaker vocal-tract-length proxy multiplying every
+    formant center frequency."""
     tt = np.arange(n) / SR
     if phone == "s":
         noise = rng.normal(size=n)
@@ -59,7 +61,7 @@ def _vocal_phone(rng, phone, n, f0):
         out[closure:closure + burst] = 0.15 * rng.normal(size=burst) * \
             np.linspace(1.0, 0.2, burst)
         return out
-    formants = _FORMANTS[phone]
+    formants = [(fc * formant_scale, amp) for fc, amp in _FORMANTS[phone]]
     amp0 = 0.8 if phone in ("n", "m") else 1.0
     phase0 = 2 * np.pi * np.cumsum(f0) / SR
     f0_mean = float(np.mean(f0))
@@ -74,17 +76,24 @@ def _vocal_phone(rng, phone, n, f0):
     return amp0 * 0.35 * seg / peak
 
 
-def synth_utterance_vocal(rng, f0_base, n_phones=8):
+def synth_utterance_vocal(rng, f0_base, n_phones=8, formant_scale=1.0,
+                          phone_weights=None):
     """Speech-like utterance: glottal-pulse + formant phones, F0 declination
     with vibrato and per-phone accents. Unlike the line-spectral tone corpus
     (synth_utterance), its mels have smooth spectral envelopes, so MCD values
-    land on the interpretable natural-speech dB scale (tests/test_mcd_gate)."""
+    land on the interpretable natural-speech dB scale (tests/test_mcd_gate).
+
+    formant_scale / phone_weights: per-speaker vocal-tract proxy and per-
+    language phone distribution (see make_synthetic_corpus voice_variation)."""
     phones, intervals = [], []
     t = 0.15
     segs = [np.zeros(int(t * SR))]
     intervals.append(Interval(0.0, t, "sil"))
     for i in range(n_phones):
-        p = PHONES[rng.integers(0, len(PHONES))]
+        if phone_weights is None:
+            p = PHONES[rng.integers(0, len(PHONES))]
+        else:
+            p = PHONES[rng.choice(len(PHONES), p=phone_weights)]
         dur = float(rng.uniform(0.06, 0.18))
         n = int(dur * SR)
         # declination 1.1 -> 0.9 across the utterance, per-phone accent,
@@ -93,7 +102,7 @@ def synth_utterance_vocal(rng, f0_base, n_phones=8):
         accent = float(rng.uniform(0.94, 1.08))
         tt = np.arange(n) / SR
         f0 = f0_base * decl * accent * (1.0 + 0.015 * np.sin(2 * np.pi * 5.0 * tt))
-        seg = _vocal_phone(rng, p, n, f0)
+        seg = _vocal_phone(rng, p, n, f0, formant_scale=formant_scale)
         fade = min(128, max(n // 4, 1))
         seg[:fade] *= np.linspace(0, 1, fade)
         seg[-fade:] *= np.linspace(1, 0, fade)
@@ -141,15 +150,39 @@ def synth_utterance(rng, f0_base, n_phones=8):
     return wav, phones, intervals, t + tail
 
 
+# per-language phone distributions (vocal style with voice_variation):
+# ja favors open vowels + nasals, en favors front vowels + obstruents —
+# a learnable language cue for the GE2E DA head and the langemb
+# discriminator, standing in for real phonotactics
+_LANG_PHONE_WEIGHTS = {
+    # PHONES = [a, i, u, e, o, k, s, t, n, m]
+    "ja": np.array([3.0, 1.5, 2.5, 1.0, 3.0, 1.0, 0.5, 1.0, 2.0, 2.0]),
+    "en": np.array([1.0, 3.0, 0.5, 3.0, 1.0, 2.0, 2.5, 2.5, 1.0, 0.5]),
+}
+
+
 def make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3, seed=0,
                           dataset="SYNTH", languages=("ja",), speaker_prefix="spk",
-                          style="tone"):
+                          style="tone", n_phones=(8, 8), voice_variation=False):
     """Create raw_data/<spk>/*.{wav,lab} + preprocessed_data TextGrids +
     accent files + speakers.json. Returns (raw_dir, preprocessed_dir, config).
 
     style: "tone" (fast line-spectral harmonics — most tests) or "vocal"
     (glottal-pulse + formant speech, smooth spectral envelopes — the MCD
-    gate's natural-dB-scale corpus)."""
+    gate's natural-dB-scale corpus).
+
+    n_phones: (lo, hi) inclusive range of phones per utterance; the default 8
+    gives ~1.1 s utterances (test scale), while (24, 40) gives ~3-5 s —
+    reference-corpus-shaped (JSUT averages ~4 s/utt).
+
+    voice_variation (vocal style): gives every speaker a DISTINCT voice —
+    per-speaker f0_base jitter (M 105-145 Hz, F 185-235 Hz) and a
+    vocal-tract-length formant scale (0.88-1.12) — and every language a
+    distinct phone distribution (_LANG_PHONE_WEIGHTS). Without it, all
+    same-gender speakers are acoustically identical, so speaker-
+    verification (GE2E/EER) and language-discrimination tasks are
+    unlearnable by construction (measured r5: 64-speaker GE2E plateaued at
+    chance-within-gender, held-out EER 26%, DA accuracy 47%)."""
     rng = np.random.default_rng(seed)
     raw = os.path.join(root, "raw_data", dataset)
     pre = os.path.join(root, "preprocessed_data", dataset)
@@ -166,10 +199,23 @@ def make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3, seed=0,
         os.makedirs(spk_raw, exist_ok=True)
         os.makedirs(tg_dir, exist_ok=True)
         f0_base = 120.0 if gender == "M" else 210.0
+        synth_kwargs = {}
+        if voice_variation:
+            assert style == "vocal", "voice_variation needs the vocal style"
+            f0_base = (float(rng.uniform(105.0, 145.0)) if gender == "M"
+                       else float(rng.uniform(185.0, 235.0)))
+            w = _LANG_PHONE_WEIGHTS[lang]
+            synth_kwargs = {
+                "formant_scale": float(rng.uniform(0.88, 1.12)),
+                "phone_weights": w / w.sum(),
+            }
         for u in range(utts_per_speaker):
             base = f"{spk}_utt{u:02d}"
             synth = synth_utterance_vocal if style == "vocal" else synth_utterance
-            wav, phones, intervals, total = synth(rng, f0_base)
+            np_lo, np_hi = n_phones
+            wav, phones, intervals, total = synth(
+                rng, f0_base, n_phones=int(rng.integers(np_lo, np_hi + 1)),
+                **synth_kwargs)
             write_wav(os.path.join(spk_raw, base + ".wav"), wav, SR)
             with open(os.path.join(spk_raw, base + ".lab"), "w") as f:
                 f.write(" ".join(phones) + "\n")

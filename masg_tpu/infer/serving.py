@@ -19,6 +19,7 @@ work (see cli/serve.py).
 
 from __future__ import annotations
 
+import contextlib
 import threading
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -545,6 +546,13 @@ class DynamicBatcher:
         self._ema_s_per_req = 0.1
         self.n_shed_overload = 0
         self.n_shed_timeout = 0
+        # caller-side deadline overruns of requests that were already in
+        # flight (device time was spent; the 504 is still surfaced)
+        self.n_timeout_inflight = 0
+        # concurrent un-batchable bypass requests (streaming, chunked long
+        # text, speaker_emb) currently holding the engine; capped by
+        # max_queue so the overload protection covers the bypass paths too
+        self._n_bypass = 0
         self._buckets = [1]
         while self._buckets[-1] < max_batch:
             self._buckets.append(self._buckets[-1] * 2)
@@ -575,9 +583,43 @@ class DynamicBatcher:
         # layer can front either an engine or a batcher
         return getattr(self.engine, name)
 
+    # un-batchable surfaces are wrapped explicitly (NOT passthrough) so the
+    # overload shed covers them too — see bypass_guard
+    def synthesize_chunked(self, ids, **kwargs) -> Dict[str, object]:
+        with self.bypass_guard():
+            return self.engine.synthesize_chunked(ids, **kwargs)
+
+    def synthesize_streaming(self, ids, **kwargs):
+        # the guard is held for the generator's lifetime: streaming spends
+        # device time on every pull, not just at creation
+        with self.bypass_guard():
+            yield from self.engine.synthesize_streaming(ids, **kwargs)
+
+    @contextlib.contextmanager
+    def bypass_guard(self):
+        """Overload shed for requests that bypass the batch queue (streaming,
+        chunked long text, speaker_emb): counts concurrent bypass requests
+        against max_queue and raises ServerOverloaded past the cap, so the
+        503+Retry-After contract holds on every path, not just /synthesize."""
+        if self.max_queue is None:
+            yield
+            return
+        with self._mutex:
+            if self._n_bypass >= self.max_queue:
+                self.n_shed_overload += 1
+                retry = max(1.0, self._n_bypass * self._ema_s_per_req)
+                raise ServerOverloaded(self._n_bypass, self.max_queue, retry)
+            self._n_bypass += 1
+        try:
+            yield
+        finally:
+            with self._mutex:
+                self._n_bypass -= 1
+
     def synthesize(self, ids, **kwargs) -> Dict[str, object]:
         if kwargs.get("speaker_emb") is not None:
-            return self.engine.synthesize(ids, **kwargs)
+            with self.bypass_guard():
+                return self.engine.synthesize(ids, **kwargs)
         ids = list(ids)
         # validate NOW, against this caller only — a bad request raised
         # inside the worker would otherwise fail every co-batched request
@@ -589,6 +631,7 @@ class DynamicBatcher:
         slot: dict = {}
         if self.request_timeout_s is not None:
             slot["deadline"] = time.monotonic() + self.request_timeout_s
+        expired = []
         with self._mutex:
             # checked under the mutex: close() flips _stop under the same
             # lock before draining, so we either enqueue-before-drain (and
@@ -596,17 +639,47 @@ class DynamicBatcher:
             if self._stop:
                 raise RuntimeError("DynamicBatcher closed")
             if self.max_queue is not None and len(self._queue) >= self.max_queue:
-                self.n_shed_overload += 1
-                retry = max(1.0, len(self._queue) * self._ema_s_per_req)
-                raise ServerOverloaded(len(self._queue), self.max_queue, retry)
+                # dead entries (callers already timed out) must not trigger
+                # spurious sheds: prune them before comparing against the cap
+                if self.request_timeout_s is not None:
+                    now = time.monotonic()
+                    live = []
+                    for item in self._queue:
+                        if item[2].get("deadline", now + 1) < now:
+                            expired.append(item)
+                        else:
+                            live.append(item)
+                    self._queue = live
+                if len(self._queue) >= self.max_queue:
+                    self.n_shed_overload += 1
+                    retry = max(1.0, len(self._queue) * self._ema_s_per_req)
+                    raise ServerOverloaded(len(self._queue), self.max_queue,
+                                           retry)
             self._queue.append((req, done, slot))
+        for _, edone, eslot in expired:
+            self.n_shed_timeout += 1
+            eslot["error"] = RequestTimeout(
+                f"request expired after {self.request_timeout_s}s in queue")
+            edone.set()
         self._wake.set()
         # wait slightly past the deadline: in-flight completion beats raising
         if not done.wait(None if self.request_timeout_s is None
                          else self.request_timeout_s + self.window_s):
-            raise RequestTimeout(
-                f"request exceeded {self.request_timeout_s}s "
-                f"(still {'queued' if 'result' not in slot else 'finishing'})")
+            if slot.get("dispatched"):
+                # the request is already consuming device time; give it one
+                # dispatch-scale grace so 'in-flight completion beats
+                # raising' actually holds (a 5 ms window is far below a
+                # batch dispatch)
+                grace = max(1.0, self._ema_s_per_req * self.max_batch * 2)
+                if not done.wait(grace):
+                    self.n_timeout_inflight += 1
+                    raise RequestTimeout(
+                        f"request exceeded {self.request_timeout_s}s "
+                        f"(+{grace:.1f}s in-flight grace, still finishing)")
+            else:
+                raise RequestTimeout(
+                    f"request exceeded {self.request_timeout_s}s "
+                    f"(still queued)")
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
@@ -632,6 +705,10 @@ class DynamicBatcher:
                     self._queue = live
                 batch = self._queue[: self.max_batch]
                 del self._queue[: self.max_batch]
+                for _, _, slot in batch:
+                    # callers distinguish queued (hard 504) from in-flight
+                    # (grace) timeouts by this marker
+                    slot["dispatched"] = True
                 if not self._queue:
                     self._wake.clear()
             for _, done, slot in expired:

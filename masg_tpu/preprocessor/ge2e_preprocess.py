@@ -75,16 +75,17 @@ def chunk_speaker_wavs(
     sr: int = 22050,
     tisv_frame: int = 150,
     hop: int = 256,
-    stride: int = 0,
+    stride: int = None,
 ) -> np.ndarray:
     """All speaker wavs -> (n_chunks, n_mels, tisv_frame) archive.
 
-    stride=0 (default): one chunk from each end of every VAD span — the
-    reference data prep's policy (data_preprocess.py takes leading/trailing
-    windows). stride=N frames: additionally slide an N-frame-stride window
-    across each span — for small corpora where two-chunks-per-span leaves
-    too few chunks to fill an (N_speakers x M_utts) GE2E batch without
-    heavy replacement."""
+    stride (default tisv_frame//2): slide a window with this frame stride
+    across each VAD span — the reference data prep's policy is the 50%-
+    overlap window (data_preprocess.py:64-66 advances `i += 0.5` frames per
+    window). stride=0: a simplified endpoints-only mode (one chunk from each
+    end of every span) that yields fewer chunks than the reference."""
+    if stride is None:
+        stride = tisv_frame // 2
     chunks = []
     min_samples = tisv_frame * hop
     for p in wav_paths:
@@ -113,7 +114,7 @@ def build_ge2e_corpus(
     out_dir: str,
     dataset: str,
     sr: int = 22050,
-    stride: int = 0,
+    stride: int = None,
 ) -> List[str]:
     """speakers: name -> (wav paths, gender, language). Writes
     `{dataset}_{spkr}_{gender}_{lang}.npy` per speaker (reference filename

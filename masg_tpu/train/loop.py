@@ -139,7 +139,19 @@ class Trainer:
             )
         )
 
-        self.ckpt = CheckpointManager(t.path.ckpt_path)
+        self.ckpt = CheckpointManager(
+            t.path.ckpt_path, max_to_keep=t.step.keep_last)
+        # host-side mirror of the in-graph Noam schedule, for LR telemetry
+        # (exact at grad_acc_step=1; under accumulation the in-graph count
+        # advances once per accumulated update)
+        from .optim import noam_schedule
+
+        self._lr_fn = noam_schedule(
+            cfg.model.transformer.encoder_hidden,
+            cfg.train.optimizer.warm_up_step,
+            cfg.train.optimizer.anneal_steps,
+            cfg.train.optimizer.anneal_rate,
+        )
         self.train_logger = Logger(os.path.join(t.path.log_path, "train"))
         self.val_logger = Logger(os.path.join(t.path.log_path, "val"))
         # typed key carries the PRNG impl; the step receives raw key data and
@@ -248,6 +260,9 @@ class Trainer:
                         losses = [m.total, m.mel, m.postnet_mel, m.pitch, m.energy, m.duration]
                         log_losses(self.train_logger, step, losses,
                                    eloss=m.speaker_prior, dloss=m.dloss)
+                        self.train_logger.add_scalar(
+                            "Training/learning_rate",
+                            float(self._lr_fn(step - 1)), step)
                         msg1 = f"Step {step}/{self.total_step}, "
                         msg2 = (
                             "Total Loss: {:.4f}, Mel Loss: {:.4f}, Mel PostNet Loss: {:.4f}, "

@@ -502,7 +502,9 @@ def test_batcher_overload_sheds_with_retry_after():
 @pytest.mark.smoke
 def test_batcher_request_timeout_sheds_queued():
     """Queued requests past their deadline raise RequestTimeout and are shed
-    without device time; an in-flight overrun raises at the caller too."""
+    without device time; an IN-FLIGHT overrun that finishes inside the
+    dispatch-scale grace returns its result (in-flight completion beats
+    raising)."""
     from masg_tpu.infer.serving import DynamicBatcher, RequestTimeout
 
     eng = _GatedEngine()
@@ -524,17 +526,122 @@ def test_batcher_request_timeout_sheds_queued():
         threads[1].start()
         threads[2].start()
         time.sleep(0.5)  # all three deadlines expire while the gate holds
-        eng.gate.set()
+        eng.gate.set()  # ...but the in-flight one finishes inside its grace
         for t in threads:
             t.join(timeout=10)
-        assert all(isinstance(e, RequestTimeout) for e in errors), errors
-        # the two QUEUED requests were shed without touching the device;
-        # only the in-flight one consumed a dispatch
+        # in-flight request completed (device time was already spent);
+        # the two queued ones were shed
+        assert errors.count(None) == 1, errors
+        assert sum(isinstance(e, RequestTimeout) for e in errors) == 2, errors
         deadline = time.monotonic() + 5
         while batcher.n_shed_timeout < 2 and time.monotonic() < deadline:
             time.sleep(0.01)
         assert batcher.n_shed_timeout == 2
         assert eng.n_requests == 1
+        assert batcher.n_timeout_inflight == 0
+    finally:
+        eng.gate.set()
+        batcher.close()
+
+
+@pytest.mark.smoke
+def test_batcher_inflight_grace_expiry_counts_metric():
+    """An in-flight request that outlives even the dispatch grace raises
+    RequestTimeout and is counted in n_timeout_inflight (ADVICE r4)."""
+    from masg_tpu.infer.serving import DynamicBatcher, RequestTimeout
+
+    eng = _GatedEngine()
+    batcher = DynamicBatcher(eng, max_batch=1, window_ms=1.0,
+                             request_timeout_s=0.05)
+    batcher._ema_s_per_req = 0.01  # grace = max(1.0, .01*1*2) = 1.0 s
+    try:
+        with pytest.raises(RequestTimeout, match="in-flight grace"):
+            batcher.synthesize([5, 6, 7])  # gate never opens inside grace
+        assert batcher.n_timeout_inflight == 1
+    finally:
+        eng.gate.set()
+        batcher.close()
+
+
+@pytest.mark.smoke
+def test_batcher_expired_queue_entries_do_not_shed_new_requests():
+    """Dead queue entries (callers already timed out) must not count toward
+    max_queue: submit prunes them instead of 503ing live traffic (ADVICE
+    r4)."""
+    from masg_tpu.infer.serving import DynamicBatcher, RequestTimeout
+
+    eng = _GatedEngine()
+    batcher = DynamicBatcher(eng, max_batch=1, window_ms=1.0, max_queue=1,
+                             request_timeout_s=0.05)
+    try:
+        errors = []
+
+        def call():
+            try:
+                batcher.synthesize([5, 6, 7])
+                errors.append(None)
+            except Exception as e:
+                errors.append(e)
+
+        t0 = threading.Thread(target=call)
+        t0.start()
+        assert eng.inflight.wait(10)  # worker holds request 0 at the gate
+        t1 = threading.Thread(target=call)
+        t1.start()  # fills the queue (depth 1 = max_queue)
+        time.sleep(0.3)  # request 1's deadline expires while queued
+        # queue is nominally full of a DEAD entry; a live request must get
+        # in (prune), not be shed with 503
+        t2 = threading.Thread(target=call)
+        t2.start()
+        time.sleep(0.05)
+        assert batcher.n_shed_overload == 0
+        eng.gate.set()
+        for t in (t0, t1, t2):
+            t.join(timeout=10)
+        assert batcher.n_shed_overload == 0
+    finally:
+        eng.gate.set()
+        batcher.close()
+
+
+@pytest.mark.smoke
+def test_bypass_paths_shed_on_overload():
+    """Streaming / chunked / speaker_emb requests bypass the batch queue but
+    still shed with 503 once max_queue concurrent bypasses are in flight
+    (ADVICE r4: overload protection must cover every path)."""
+    from masg_tpu.infer.serving import DynamicBatcher, ServerOverloaded
+
+    class _SlowBypassEngine(_GatedEngine):
+        def synthesize(self, ids, **kw):
+            self.inflight.set()
+            assert self.gate.wait(10)
+            return {"mel_len": 4}
+
+        def synthesize_chunked(self, ids, **kw):
+            return self.synthesize(ids)
+
+        def synthesize_streaming(self, ids, **kw):
+            self.inflight.set()
+            assert self.gate.wait(10)
+            yield np.zeros(16, np.int16)
+
+    eng = _SlowBypassEngine()
+    batcher = DynamicBatcher(eng, max_batch=1, window_ms=1.0, max_queue=1)
+    try:
+        t = threading.Thread(
+            target=lambda: batcher.synthesize([5], speaker_emb=np.zeros((1, 4))))
+        t.start()
+        assert eng.inflight.wait(10)  # one bypass holds the cap
+        with pytest.raises(ServerOverloaded):
+            batcher.synthesize_chunked([5, 6])
+        with pytest.raises(ServerOverloaded):
+            next(batcher.synthesize_streaming([5, 6]))
+        assert batcher.n_shed_overload == 2
+        eng.gate.set()
+        t.join(timeout=10)
+        # capacity released: a new bypass goes through
+        out = batcher.synthesize_chunked([5, 6])
+        assert out["mel_len"] == 4
     finally:
         eng.gate.set()
         batcher.close()
