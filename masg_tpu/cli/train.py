@@ -41,6 +41,14 @@ def main(argv=None):
                         choices=["threefry2x32", "rbg", "unsafe_rbg"],
                         help="dropout PRNG: rbg drives the TPU hardware "
                              "generator (+12%% step rate vs threefry)")
+    parser.add_argument("--clf_featurization", default="model",
+                        choices=["model", "ge2e"],
+                        help="--use_clf discriminator input: 'model' = raw "
+                             "predicted feature mels (reference-faithful, "
+                             "incl. its featurization gap, train.py:181-184)"
+                             "; 'ge2e' = in-graph change of mel basis into "
+                             "the GE2E encoder's training domain (opt-in, "
+                             "beyond parity)")
     parser.add_argument("--multihost", action="store_true",
                         help="jax.distributed.initialize before device use "
                              "(coordinator via MASG_COORDINATOR / "
@@ -74,6 +82,7 @@ def main(argv=None):
         use_flash=args.flash,
         rng_impl=args.rng_impl,
         param_storage=args.param_storage,
+        clf_featurization=args.clf_featurization,
     )
     print(f"mesh: {dict(trainer.mesh.shape)}")
     n_params = sum(

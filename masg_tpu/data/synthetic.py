@@ -329,6 +329,7 @@ def make_config_dir(root, pre_dir, tmp, *, dataset="SYNTH", batch_size=2,
 
 def build_synthetic_experiment_dir(tmp, *, n_speakers=2, utts_per_speaker=6,
                                    seed=0, style="tone", languages=("ja",),
+                                   voice_variation=False, n_phones=(8, 8),
                                    **config_kwargs):
     """Corpus + preprocess + config dir in one call. Returns cfg_dir."""
     import shutil
@@ -337,7 +338,8 @@ def build_synthetic_experiment_dir(tmp, *, n_speakers=2, utts_per_speaker=6,
 
     raw, pre, _ = make_synthetic_corpus(
         tmp, n_speakers=n_speakers, utts_per_speaker=utts_per_speaker, seed=seed,
-        style=style, languages=languages,
+        style=style, languages=languages, voice_variation=voice_variation,
+        n_phones=n_phones,
     )
     cfg_dir = make_config_dir(tmp, pre, tmp, **config_kwargs)
     preprocess_main(["--config", cfg_dir])

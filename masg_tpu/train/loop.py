@@ -61,6 +61,7 @@ class Trainer:
         seed: int = 0,
         mesh=None,
         rng_impl: str = "rbg",
+        clf_featurization: str = "model",
     ):
         self.cfg = cfg
         self.model = model
@@ -126,6 +127,7 @@ class Trainer:
                     lambd=t.lambda_,
                     total_step=self.total_step,
                     rng_impl=rng_impl,
+                    clf_featurization=clf_featurization,
                 ),
                 donate_argnums=(0,),
             )
@@ -462,6 +464,7 @@ def build_experiment(
     val_split: str = "val.txt",
     rng_impl: str = "rbg",
     param_storage: str = "f32",
+    clf_featurization: str = "model",
 ):
     """Datasets + model + optimizer + Trainer from a config dir
     (the CLI composition root; reference train.py:30-105).
@@ -587,6 +590,7 @@ def build_experiment(
         ganlike=ganlike,
         discriminator=discriminator, discriminator_params=discriminator_params,
         seed=seed, mesh=mesh, rng_impl=rng_impl,
+        clf_featurization=clf_featurization,
     )
 
     if checkpoint is not None:

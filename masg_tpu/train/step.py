@@ -81,6 +81,7 @@ def make_train_step(
     total_step: int = 30000,
     lang_meta_index: int = 2,
     rng_impl: Optional[str] = None,
+    clf_featurization: str = "model",
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, StepMetrics]]:
     """Build the jittable train step closure.
 
@@ -91,7 +92,29 @@ def make_train_step(
     implementation ('rbg' uses the TPU hardware generator for dropout masks —
     measured +12% train throughput over the default threefry; None keeps the
     caller's raw threefry key semantics).
+
+    `clf_featurization`: what the --use_clf discriminator sees.
+      "model" (default, reference-faithful): the model's predicted feature
+        mels as-is — the reference's featurization gap (train.py:181-184
+        feeds fmin-0 feature mels to an encoder trained on fmin-55
+        raw-audio log-mels; measured r4: the frozen encoder emits ~zero
+        language logits there, BCE pinned at ln2).
+      "ge2e" (opt-in, beyond parity): map predicted mels into the GE2E
+        training mel domain in-graph via the differentiable filterbank
+        change-of-basis A = FB55^T pinv(FB0^T) before chunking, so the
+        frozen discriminator operates in-distribution.
     """
+    assert clf_featurization in ("model", "ge2e"), clf_featurization
+    ge2e_basis = None
+    if clf_featurization == "ge2e":
+        import numpy as np
+
+        from ..audio.stft import mel_filterbank
+
+        fb0 = mel_filterbank(80, 1024, 22050, 0.0, 8000.0)  # (n_freqs, 80)
+        fb55 = mel_filterbank(80, 1024, 22050, 55.0, 8000.0)
+        ge2e_basis = jnp.asarray(
+            (fb55.T @ np.linalg.pinv(fb0.T)).astype(np.float32))  # (80, 80)
 
     def loss_fn(params, batch_stats, batch, rng, step):
         rng_drop, rng_perm, rng_drop2 = jax.random.split(rng, 3)
@@ -131,7 +154,14 @@ def make_train_step(
                 speakers=batch["speakers"][reorder],
                 speaker_meta=batch["speaker_meta"][reorder],
             )
-            chunks = chunk_mels(out_x.mel, 150)  # (B * n_chunks, 150, n_mels)
+            disc_mel = out_x.mel
+            if ge2e_basis is not None:
+                # feature log-mel -> linear mel -> GE2E (fmin 55) mel basis
+                # -> log, keeping the chain differentiable so adversarial
+                # gradients still reach the acoustic model
+                disc_mel = jnp.log(jnp.clip(
+                    jnp.exp(disc_mel) @ ge2e_basis.T, 1e-5, None))
+            chunks = chunk_mels(disc_mel, 150)  # (B * n_chunks, 150, n_mels)
             n_chunks = chunks.shape[0] // bsz
             langs = jnp.repeat(
                 batch["speaker_meta"][reorder][:, lang_meta_index], n_chunks

@@ -101,7 +101,7 @@ def main():
     else:
         cfg_dir = build_synthetic_experiment_dir(
             args.out, n_speakers=4, utts_per_speaker=20, style="vocal",
-            languages=("ja", "ja", "en", "en"),
+            languages=("ja", "ja", "en", "en"), voice_variation=True,
             batch_size=8, group_size=1, total_step=max(args.fs2_steps, 1),
             log_step=100, val_step=10**9, synth_step=10**9,
             save_step=max(args.fs2_steps, 1), warm_up_step=100)
@@ -167,6 +167,28 @@ def main():
         f"{ge2e_losses[-1]:.3f}")
     mark(f"STAGE 1 GE2E trained: loss {ge2e_losses[0]:.3f} -> "
          f"{ge2e_losses[-1]:.3f} over {args.ge2e_epochs} epochs")
+
+    # EER gate (VERDICT r5 item 4: loss-fell is not evidence of a usable
+    # embedder). Demo scale: the 4 training speakers, enrollment/verify
+    # split across chunks — a degenerate embedder scores ~0.5
+    import jax as _jax
+
+    from masg_tpu.models.speaker_encoder import SpeechEmbedder
+    from masg_tpu.train.ge2e import SpeakerChunkDataset, evaluate_eer
+    from masg_tpu.train.loop import load_ge2e_checkpoint
+
+    _emb0 = SpeechEmbedder(n_mels=80)
+    _ge2e_params = load_ge2e_checkpoint(enc_dir, _emb0)
+    _hid = int(np.shape(_ge2e_params["OptimizedLSTMCell_0"]["hf"]["bias"])[0])
+    _proj = int(np.shape(_ge2e_params["projection"]["kernel"])[1])
+    _emb = SpeechEmbedder(n_mels=80, hidden=_hid, proj=_proj)
+    _ds = SpeakerChunkDataset(ge2e_data, ["SYNTH"], m_utts=10, seed=1)
+    eer, thresh = evaluate_eer(_emb, _ge2e_params, _ds,
+                               n_speakers=len(_ds), m_utts=10, epochs=10)
+    evidence["ge2e_eer"] = float(eer)
+    evidence["ge2e_eer_threshold"] = float(thresh)
+    assert eer < 0.35, f"GE2E embedder unusable: EER {eer:.3f}"
+    mark(f"GE2E EER {eer:.3f} @ threshold {thresh:.2f} (gate < 0.35)")
 
     # --- 4. FS2 pretrain ----------------------------------------------
     train_main(["-c", cfg_dir, "--max_steps", str(args.fs2_steps),
@@ -327,6 +349,7 @@ def main():
     mark(f"distributions built: {interp_npz}, {bary_npz}")
 
     wav_peaks = []
+    wavs_by_mode = {}
     for name, npz in (("interp", interp_npz), ("barycenter", bary_npz)):
         out_dir = os.path.join(args.out, f"wavs_{name}")
         examples_gen_distri(["-c", clf_cfg_dir, "-r", str(clf_step),
@@ -337,9 +360,11 @@ def main():
                              "--phones_ja", "{a o i e u m a n o s a t e}",
                              "--seed", "0"])
         wavs = sorted(f for f in os.listdir(out_dir) if f.endswith(".wav"))
+        wavs_by_mode[name] = []
         for w in wavs:
             audio, _ = read_wav(os.path.join(out_dir, w))
             wav_peaks.append(float(np.abs(audio).max()))
+            wavs_by_mode[name].append(np.asarray(audio, np.float32))
         mark(f"{name}: {len(wavs)} wavs in {out_dir}: {wavs}")
     evidence["demo_wav_peak_median"] = float(np.median(wav_peaks))
     evidence["demo_wav_peak_min"] = float(np.min(wav_peaks))
@@ -348,6 +373,33 @@ def main():
         f"< {args.min_peak} (vocoder_steps={args.vocoder_steps} too few?)")
     mark(f"AUDIBLE: wav peak median {np.median(wav_peaks):.3f} FS "
          f"(min {np.min(wav_peaks):.3f})")
+
+    # --- 8. mid-attribute evidence (VERDICT r5 item 1, compact form) ---
+    # F0 gender score of the sampled wavs, anchored on the GT corpus corner
+    # F0 means: interp (t=0.5, M_ja<->F_ja) and barycenter wavs should land
+    # BETWEEN the corners, not on them. The full sweep probe is
+    # scripts/mid_attribute_probe.py.
+    from masg_tpu.eval.attribute_probe import mean_voiced_f0
+
+    gt_f0 = {"M": [], "F": []}
+    for spk, (paths, gender, lang) in spk_map.items():
+        gt_f0[gender].append(mean_voiced_f0(
+            np.asarray(_read_wav(paths[0])[0], np.float64)))
+    f0_m, f0_f = float(np.mean(gt_f0["M"])), float(np.mean(gt_f0["F"]))
+    mid_scores = {}
+    for name, wav_list in wavs_by_mode.items():
+        scores = [(mean_voiced_f0(np.asarray(w, np.float64)) - f0_m)
+                  / (f0_f - f0_m) for w in wav_list]
+        mid_scores[name] = [round(float(s), 3) for s in scores]
+    evidence["mid_attribute_f0"] = {
+        "gt_f0_hz": {"M": f0_m, "F": f0_f},
+        "scores": mid_scores,  # 0 = M corner, 1 = F corner
+    }
+    med = float(np.median(sum(mid_scores.values(), [])))
+    assert 0.05 < med < 0.95, (
+        f"mid-attribute wavs sit ON a corner, not between: {mid_scores}")
+    mark(f"MID-ATTRIBUTE: F0 gender scores {mid_scores} "
+         f"(0=M corner, 1=F corner; GT {f0_m:.0f}/{f0_f:.0f} Hz)")
 
     print("\n=== full pipeline demo complete ===")
     for name, t in stages:

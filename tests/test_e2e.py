@@ -123,6 +123,10 @@ def test_train_clf_and_ganlike(experiment):
 
     train_main(["-c", cfg_dir, "--max_steps", "2", "--use_clf"])
     gan_main(["-c", cfg_dir, "--max_steps", "2"])
+    # opt-in GE2E-domain discriminator featurization (train/step.py
+    # clf_featurization="ge2e"): same step, different disc input basis
+    train_main(["-c", cfg_dir, "--max_steps", "1", "--use_clf",
+                "--clf_featurization", "ge2e"])
 
 
 def test_multicorpus_gather_and_concat_training(tmp_path):

@@ -105,7 +105,11 @@ def test_time_packing_matches_plain():
     rounding on both the full config and a tiny one with a non-divisible
     stage length (which must silently fall back to unpacked)."""
     rng = np.random.default_rng(5)
-    for kwargs, t_mel in ((dict(), 11), (TINY, 15)):
+    # half-width stack (256 -> 128/64/32/16) instead of the full 512: the
+    # packed (C<64) and unpacked stages and the gate boundary are all still
+    # present, at ~1/4 the CPU cost (suite budget, VERDICT r5 item 8)
+    half = dict(upsample_initial_channel=256)
+    for kwargs, t_mel in ((half, 11), (TINY, 15)):
         mel = jnp.asarray(rng.normal(size=(2, t_mel, 80)), jnp.float32)
         plain = HiFiGANGenerator(time_packing=False, **kwargs)
         packed = HiFiGANGenerator(time_packing=True, **kwargs)

@@ -83,9 +83,13 @@ def test_eval_step_runs():
     assert np.isfinite(float(eloss))
 
 
-@pytest.mark.smoke
 def test_data_parallel_equivalence():
-    """1-device step == 8-device data-parallel step (same math, psum grads)."""
+    """1-device step == 8-device data-parallel step (same math, psum grads).
+
+    Off the smoke tier (suite-cost budget, VERDICT r4/r5): the same
+    equivalence is proven more strongly by tests/test_mesh_trainer.py's
+    gradient-tree comparison and re-proven by the driver's dryrun_multichip
+    on every round."""
     from masg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
     cfg = tiny_config()
