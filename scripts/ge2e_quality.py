@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--m", type=int, default=6, help="utterances per speaker")
     ap.add_argument("--batches_per_epoch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chunks_only", action="store_true",
+                    help="stop after chunk prep (CPU stage) so the chip "
+                         "stage can be scheduled separately")
     args = ap.parse_args()
 
     import glob
@@ -85,6 +88,9 @@ def main():
              f"chunks in {time.time()-t1:.0f}s")
     with open(os.path.join(held_dir, "done.json")) as f:
         ev["chunks"] = json.load(f)
+    if args.chunks_only:
+        print(json.dumps(ev, indent=1), flush=True)
+        return
 
     # --- train on the train-speaker split (chip) ----------------------
     enc_dir = os.path.join(args.out, "spk_enc")

@@ -230,7 +230,7 @@ def _our_trajectory(batches, progresses, use_ge2e_backward, threshold,
                 lr_scale /= 2
 
             if subroutine_after is not None and i == subroutine_after:
-                _, sub_step = make_da_subroutine_step(embedder)
+                _, sub_step, _burst = make_da_subroutine_step(embedder)
                 p_main, p_da = _split_da(state.embedder_params)
                 opt_da = state.opt_state_da
                 for s_mels, s_langs in sub_stream:

@@ -163,3 +163,23 @@ def test_missing_discriminator_path_is_an_error(fs2_experiment):
     cfg.train.discriminator_path = os.path.join(tmp, "nope.pth")
     with pytest.raises(FileNotFoundError):
         build_experiment(cfg, use_clf=True, n_devices=1)
+
+
+def test_fused_epoch_matches_per_batch_loop(chunks_dir, tmp_path):
+    """The single-device fast path (one lax.scan dispatch per epoch) is the
+    SAME trajectory as the per-batch loop — identical key derivation and
+    step closure, only the dispatch granularity differs."""
+    from masg_tpu.train.ge2e import train_speaker_encoder
+
+    kwargs = dict(
+        data_path=chunks_dir, datasets=["SYNTH"], n_speakers=4, m_utts=3,
+        epochs=2, batches_per_epoch=2, checkpoint_interval=10**9,
+        verbose=False, n_devices=1, seed=11, da_startpoint=1.0)
+    s_loop = train_speaker_encoder(
+        out_dir=str(tmp_path / "loop"), fused_epoch=False, **kwargs)
+    s_fused = train_speaker_encoder(
+        out_dir=str(tmp_path / "fused"), fused_epoch=True, **kwargs)
+    for a, b in zip(jax.tree_util.tree_leaves(s_loop.embedder_params),
+                    jax.tree_util.tree_leaves(s_fused.embedder_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
