@@ -11,6 +11,7 @@ handful of shapes, then the loop is pure dispatch.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, List, Optional
@@ -43,6 +44,42 @@ def batch_to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         for k, v in batch.items()
         if k not in ("ids", "raw_texts")
     }
+
+
+def _pack_batch(raw: Dict[str, np.ndarray]):
+    """Flatten a batch dict into one f32 buffer (+ static unpack spec).
+    Integer fields are cast to int32 and BITCAST into the f32 buffer, so the
+    round trip is exact for every dtype."""
+    parts, spec = [], []
+    for k in sorted(raw):
+        v = np.asarray(raw[k])
+        if np.issubdtype(v.dtype, np.integer) or v.dtype == np.bool_:
+            parts.append(np.ascontiguousarray(
+                v.astype(np.int32)).reshape(-1).view(np.float32))
+            spec.append((k, v.shape, "i"))
+        else:
+            parts.append(v.astype(np.float32).reshape(-1))
+            spec.append((k, v.shape, "f"))
+    return np.concatenate(parts), tuple(spec)
+
+
+@functools.lru_cache(maxsize=256)
+def _unpack_fn(spec):
+    """Jitted on-device unpacker for _pack_batch's buffer (cached per
+    bucket-shape spec)."""
+
+    def unpack(buf):
+        out, off = {}, 0
+        for k, shape, kind in spec:
+            n = int(np.prod(shape, dtype=np.int64))
+            x = buf[off : off + n].reshape(shape)
+            if kind == "i":
+                x = jax.lax.bitcast_convert_type(x, jnp.int32)
+            out[k] = x
+            off += n
+        return out
+
+    return jax.jit(unpack)
 
 
 class Trainer:
@@ -170,10 +207,21 @@ class Trainer:
         """Host batch -> device arrays, dp-sharded over the mesh when the
         batch size divides the 'data' axis (partial tail batches fall back to
         replication: correctness over speed). Raw numpy goes straight to the
-        mesh placement so multi-process global arrays build correctly."""
+        mesh placement so multi-process global arrays build correctly.
+
+        Single-device path: the ~10 per-field host->device transfers are
+        SYNCHRONOUS round trips on a remoted backend (measured: transfers
+        block while compute dispatches pipeline, pinning the production
+        trainer at ~8 steps/s when the same math benches at 42). The batch
+        is packed into ONE f32 buffer (ints bitcast) = one transfer, and
+        unpacked on-device by a cached jitted slicer."""
         raw = {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
-        if self.mesh is None:
-            return {k: jnp.asarray(v) for k, v in raw.items()}
+        if self.mesh is None or (self.mesh.devices.size == 1
+                                 and self.single_process):
+            buf, spec = _pack_batch(raw)
+            # on a 1-device mesh the unpacked arrays are already fully
+            # addressable on the right device; no resharding round trip
+            return _unpack_fn(spec)(jnp.asarray(buf))
         b = raw["speakers"].shape[0]
         if b % self.mesh.shape["data"] == 0:
             return shard_batch(raw, self.mesh)
