@@ -525,7 +525,13 @@ class DynamicBatcher:
     queue raise ServerOverloaded (HTTP layer: 503 + Retry-After) instead of
     queuing unboundedly; with `request_timeout_s` set, a request that cannot
     finish inside its deadline raises RequestTimeout (HTTP 504) — expired
-    requests still in the queue are shed without spending device time.
+    requests still in the queue are shed without spending device time, and
+    dead entries never trigger sheds of live traffic. Un-batchable surfaces
+    (speaker_emb, synthesize_chunked, synthesize_streaming) shed through
+    bypass_guard against the same max_queue cap, so overload protection
+    covers every path. An in-flight request that overruns its deadline gets
+    one dispatch-scale grace period (its device time is already spent)
+    before 504ing, counted in n_timeout_inflight.
     """
 
     def __init__(self, engine: ServingEngine, max_batch: int = 8,
