@@ -276,7 +276,8 @@ def main():
         f"adversarial branch dead: lambda 0 vs 1000 param delta {diff}")
     mark(f"STAGE 2 --use_clf fine-tune (lambda={args.lambd}): disc BCE "
          f"{dl[0][1]:.2f}@{dl[0][0]} -> {dl[-1][1]:.2f}@{dl[-1][0]} "
-         f"(per-chunk ~ln2, frozen-encoder featurization gap, see comment); "
+         f"(falls when the voice-varied corpus gives the encoder a real "
+         f"language cue — r5; was ln2-pinned on the r4 corpus); "
          f"adversarial path LIVE: lambda-ablation param delta {diff:.2e}")
 
     # --- 6. vocoder to audibility -------------------------------------
