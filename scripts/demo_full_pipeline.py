@@ -61,6 +61,10 @@ class Tee(io.TextIOBase):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
+    ap.add_argument("--n_speakers", type=int, default=4,
+                    help="multiple of 4: speakers cycle the (gender x "
+                         "language) corners, n/4 per corner")
+    ap.add_argument("--utts_per_speaker", type=int, default=20)
     ap.add_argument("--fs2_steps", type=int, default=800)
     ap.add_argument("--clf_steps", type=int, default=400)
     ap.add_argument("--lambda", dest="lambd", type=float, default=1.0)
@@ -99,8 +103,10 @@ def main():
     if os.path.exists(os.path.join(cfg_dir, "stats.json")):
         mark(f"corpus + preprocess REUSED ({cfg_dir})")
     else:
+        assert args.n_speakers % 4 == 0, args.n_speakers
         cfg_dir = build_synthetic_experiment_dir(
-            args.out, n_speakers=4, utts_per_speaker=20, style="vocal",
+            args.out, n_speakers=args.n_speakers,
+            utts_per_speaker=args.utts_per_speaker, style="vocal",
             languages=("ja", "ja", "en", "en"), voice_variation=True,
             batch_size=8, group_size=1, total_step=max(args.fs2_steps, 1),
             log_step=100, val_step=10**9, synth_step=10**9,
